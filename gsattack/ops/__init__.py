@@ -1,0 +1,3 @@
+from .knn import mean_knn_dist2
+
+__all__ = ["mean_knn_dist2"]

@@ -1,0 +1,161 @@
+"""Per-Gaussian projection: frustum cull, EWA 3D->2D covariance, SH color.
+
+This is the "preprocess" stage of the differentiable rasterizer — the
+TPU-native counterpart of the CUDA `preprocess` kernel behind
+`GaussianRasterizer.__call__` (call contract at
+`gaussian_renderer/__init__.py:36-95`). All of it is dense vectorized jnp:
+XLA fuses the whole thing into a handful of VPU loops over N, and it shards
+trivially over a `splats` mesh axis.
+
+Conventions replicated from the published Inria rasterizer algorithm (the
+reference imports it as a non-vendored CUDA submodule, SURVEY.md §2.3):
+  * near-plane cull at view-space z <= 0.2
+  * EWA Jacobian with tan-FoV clamping at 1.3x the frustum half-extent
+  * +0.3 px low-pass added to the 2D covariance diagonal
+  * radius = ceil(3 * sqrt(lambda_max)), 16-px tiles downstream
+  * ndc2pix(v, S) = ((v + 1) * S - 1) / 2
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import sh as shlib
+from ..core.camera import Camera
+from ..core.scene import GaussianScene
+from ..core.transforms import unpack_symmetric
+
+
+class ProjectedGaussians(NamedTuple):
+    """Screen-space quantities for every Gaussian (dense over capacity N)."""
+
+    mean2d: jnp.ndarray  # (N, 2) pixel coords
+    depth: jnp.ndarray  # (N,) view-space z
+    conic: jnp.ndarray  # (N, 3) inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray  # (N,) int32 screen-space radius in pixels (0 = culled)
+    color: jnp.ndarray  # (N, 3) RGB from SH (or override)
+    obj: jnp.ndarray  # (N, C_obj) object features
+    opacity: jnp.ndarray  # (N,) activated opacity
+
+
+def compute_cov2d(
+    xyz: jnp.ndarray,
+    cov3d6: jnp.ndarray,
+    view: jnp.ndarray,
+    tanfovx: jnp.ndarray,
+    tanfovy: jnp.ndarray,
+    width: int,
+    height: int,
+) -> jnp.ndarray:
+    """EWA splatting: project 3D covariance to 2D screen space. (N,3) packed
+    (cov_xx, cov_xy, cov_yy) with the +0.3 low-pass on the diagonal."""
+    t = (xyz @ view[:3, :3].T) + view[:3, 3]  # view-space positions (N,3)
+    tz = t[:, 2]
+    limx = 1.3 * tanfovx
+    limy = 1.3 * tanfovy
+    txtz = jnp.clip(t[:, 0] / tz, -limx, limx)
+    tytz = jnp.clip(t[:, 1] / tz, -limy, limy)
+    tx = txtz * tz
+    ty = tytz * tz
+
+    fx = width / (2.0 * tanfovx)
+    fy = height / (2.0 * tanfovy)
+
+    # J: 2x3 Jacobian of the perspective projection at (tx, ty, tz)
+    zero = jnp.zeros_like(tz)
+    j00 = fx / tz
+    j02 = -fx * tx / (tz * tz)
+    j11 = fy / tz
+    j12 = -fy * ty / (tz * tz)
+    J = jnp.stack(
+        [
+            jnp.stack([j00, zero, j02], axis=-1),
+            jnp.stack([zero, j11, j12], axis=-1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+
+    W = view[:3, :3]  # world->view rotation
+    M = J @ W  # (N, 2, 3)
+    V = unpack_symmetric(cov3d6)  # (N, 3, 3)
+    cov2d = M @ V @ jnp.swapaxes(M, -1, -2)  # (N, 2, 2)
+    return jnp.stack(
+        [cov2d[:, 0, 0] + 0.3, cov2d[:, 0, 1], cov2d[:, 1, 1] + 0.3], axis=-1
+    )
+
+
+def project(
+    scene: GaussianScene,
+    camera: Camera,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jnp.ndarray] = None,
+    sh_degree: Optional[int] = None,
+) -> ProjectedGaussians:
+    """Dense projection of every Gaussian in the scene for one camera."""
+    xyz = scene.xyz
+    n = xyz.shape[0]
+    view = camera.view
+
+    # View-space depth + frustum cull (z <= 0.2 like the Inria preprocess).
+    t = (xyz @ view[:3, :3].T) + view[:3, 3]
+    depth = t[:, 2]
+    in_front = depth > 0.2
+
+    # Clip-space -> pixel coords via the full projection matrix.
+    hom = (xyz @ camera.full_proj[:3, :3].T) + camera.full_proj[:3, 3]
+    w = (xyz @ camera.full_proj[3:4, :3].T)[:, 0] + camera.full_proj[3, 3]
+    inv_w = 1.0 / (w + 1e-7)
+    ndc = hom * inv_w[:, None]
+    mean2d = jnp.stack(
+        [
+            ((ndc[:, 0] + 1.0) * camera.width - 1.0) * 0.5,
+            ((ndc[:, 1] + 1.0) * camera.height - 1.0) * 0.5,
+        ],
+        axis=-1,
+    )
+
+    cov3d6 = scene.covariance(scaling_modifier)
+    cov2d = compute_cov2d(
+        xyz, cov3d6, view, camera.tanfovx, camera.tanfovy, camera.width, camera.height
+    )
+    a, b, c = cov2d[:, 0], cov2d[:, 1], cov2d[:, 2]
+    det = a * c - b * b
+    det_ok = det != 0.0
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    visible = in_front & det_ok & scene.alive
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    # Color: SH evaluated at per-point view directions (CUDA path semantics,
+    # `gaussian_renderer/__init__.py:73-81`), or an override color.
+    if override_color is not None:
+        color = override_color
+    else:
+        deg = scene.active_sh_degree if sh_degree is None else sh_degree
+        dirs = xyz - camera.cam_center[None, :]
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        # features: (N, K, 3) -> channel-major (N, 3, K) for eval_sh
+        shs = jnp.swapaxes(scene.features, -1, -2)
+        color = shlib.sh_to_rgb(deg, shs, dirs)
+
+    # Object features, blended like degree-0 SH (Gaussian-Grouping fork).
+    obj = jnp.maximum(scene.obj_dc[:, 0, :] * shlib.C0 + 0.5, 0.0)
+
+    opacity = scene.opacity[:, 0]
+    return ProjectedGaussians(
+        mean2d=mean2d,
+        depth=depth,
+        conic=conic,
+        radius=radius,
+        color=color,
+        obj=obj,
+        opacity=opacity,
+    )

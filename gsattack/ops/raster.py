@@ -1,0 +1,247 @@
+"""Tile-based differentiable rasterization (production path, pure XLA v1).
+
+TPU-native re-design of the CUDA tile rasterizer the reference imports
+(`diff_gaussian_rasterization`, call contract at
+`gaussian_renderer/__init__.py:36-95`, SURVEY.md §2.3). The CUDA original
+uses atomics, dynamic duplication and per-tile radix sort; none of that maps
+to XLA's static-shape world, so the algorithm is restructured:
+
+1. **Pair expansion** (static capacity): every Gaussian emits up to
+   `pairs_per_gaussian` (tile, depth, index) tuples covering its 3-sigma
+   tile rect — a dense (N, C) computation instead of atomic counters.
+2. **Global two-key sort** `(tile_id, depth)` via `jax.lax.sort` — one fused
+   device sort replaces the CUDA prefix-sum + radix-sort pipeline.
+3. **Range lookup** per tile with `searchsorted`.
+4. **Chunked associative blending**: per tile, gaussians are consumed in
+   depth-ordered chunks of K; within a chunk, front-to-back compositing is
+   rewritten with log-space cumulative transmittance (cumsum of log1p(-a))
+   so the whole chunk is one VPU-vectorized (K, P) computation and the
+   color accumulation is a (P, K) @ (K, CH) matmul on the MXU. The serial
+   per-Gaussian walk of the CUDA kernel disappears.
+
+The saturation rules replicate the reference blend exactly: alpha clamp at
+0.99, skip below 1/255, skip when the Mahalanobis power is positive, and a
+pixel stops compositing permanently once its transmittance would cross 1e-4.
+
+Everything is differentiable by JAX AD (the sort/gather indices are integer
+and naturally non-differentiable); a custom-VJP Pallas path supersedes this
+for speed while this stays as the semantic reference for it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .project import ProjectedGaussians
+
+TILE = 16
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+
+class TileBins(NamedTuple):
+    gauss_idx: jnp.ndarray  # (P,) sorted pair -> gaussian index
+    tile_start: jnp.ndarray  # (num_tiles,)
+    tile_end: jnp.ndarray  # (num_tiles,)
+    num_culled_pairs: jnp.ndarray  # () int32 pairs dropped by the static cap
+
+
+def _tile_rect(mean2d, radius, tiles_x, tiles_y):
+    """Inria getRect: tile index ranges covered by the radius bbox."""
+    r = radius.astype(jnp.float32)
+    rmin_x = jnp.clip((mean2d[:, 0] - r) / TILE, 0, tiles_x).astype(jnp.int32)
+    rmax_x = jnp.clip((mean2d[:, 0] + r + TILE - 1) / TILE, 0, tiles_x).astype(
+        jnp.int32
+    )
+    rmin_y = jnp.clip((mean2d[:, 1] - r) / TILE, 0, tiles_y).astype(jnp.int32)
+    rmax_y = jnp.clip((mean2d[:, 1] + r + TILE - 1) / TILE, 0, tiles_y).astype(
+        jnp.int32
+    )
+    return rmin_x, rmax_x, rmin_y, rmax_y
+
+
+def bin_gaussians(
+    mean2d: jnp.ndarray,
+    depth: jnp.ndarray,
+    radius: jnp.ndarray,
+    width: int,
+    height: int,
+    pairs_per_gaussian: int = 32,
+) -> TileBins:
+    """Build depth-sorted per-tile index lists with static shapes."""
+    n = mean2d.shape[0]
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    num_tiles = tiles_x * tiles_y
+    c = pairs_per_gaussian
+
+    rmin_x, rmax_x, rmin_y, rmax_y = _tile_rect(mean2d, radius, tiles_x, tiles_y)
+    rect_w = rmax_x - rmin_x
+    touched = jnp.where(radius > 0, rect_w * (rmax_y - rmin_y), 0)  # (N,)
+
+    j = jnp.arange(c, dtype=jnp.int32)[None, :]  # (1, C)
+    w_safe = jnp.maximum(rect_w, 1)[:, None]
+    tx = rmin_x[:, None] + j % w_safe
+    ty = rmin_y[:, None] + j // w_safe
+    valid = j < touched[:, None]
+    tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+
+    flat_tile = tile_id.reshape(-1)
+    flat_depth = jnp.broadcast_to(depth[:, None], (n, c)).reshape(-1)
+    flat_gidx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, c)
+    ).reshape(-1)
+    sorted_tile, _, sorted_gidx = jax.lax.sort(
+        (flat_tile, flat_depth, flat_gidx), num_keys=2
+    )
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(sorted_tile, tids + 1, side="left").astype(jnp.int32)
+    culled = jnp.sum(jnp.maximum(touched - c, 0))
+    return TileBins(sorted_gidx, tile_start, tile_end, culled)
+
+
+def _blend_tiles(
+    bins: TileBins,
+    mean2d: jnp.ndarray,
+    conic: jnp.ndarray,
+    opacity: jnp.ndarray,
+    channels: jnp.ndarray,  # (N, CH) rgb + obj
+    width: int,
+    height: int,
+    chunk: int,
+    max_chunks: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """vmap-over-tiles chunked blend. Returns (image (H, W, CH), T (H, W))."""
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    num_tiles = tiles_x * tiles_y
+    n_ch = channels.shape[-1]
+    p = TILE * TILE
+
+    # Pad the sorted index list so dynamic slices past the end are safe.
+    gidx_pad = jnp.concatenate(
+        [bins.gauss_idx, jnp.zeros(chunk, jnp.int32)], axis=0
+    )
+
+    def tile_fn(tile_id, start, end):
+        t_y = tile_id // tiles_x
+        t_x = tile_id % tiles_x
+        px = (t_x * TILE + jnp.arange(TILE, dtype=jnp.int32))[None, :]
+        py = (t_y * TILE + jnp.arange(TILE, dtype=jnp.int32))[:, None]
+        pxf = jnp.broadcast_to(px, (TILE, TILE)).reshape(p).astype(jnp.float32)
+        pyf = jnp.broadcast_to(py, (TILE, TILE)).reshape(p).astype(jnp.float32)
+
+        def chunk_step(carry, k):
+            accum, T, done = carry
+            base = start + k * chunk
+            idx = jax.lax.dynamic_slice(gidx_pad, (base,), (chunk,))
+            pair_valid = (base + jnp.arange(chunk, dtype=jnp.int32)) < end
+
+            m = mean2d[idx]  # (K, 2)
+            con = conic[idx]  # (K, 3)
+            op = opacity[idx]  # (K,)
+            col = channels[idx]  # (K, CH)
+
+            dx = pxf[None, :] - m[:, 0:1]  # (K, P)
+            dy = pyf[None, :] - m[:, 1:2]
+            power = (
+                -0.5 * (con[:, 0:1] * dx * dx + con[:, 2:3] * dy * dy)
+                - con[:, 1:2] * dx * dy
+            )
+            alpha = jnp.minimum(ALPHA_MAX, op[:, None] * jnp.exp(power))
+            use = (power <= 0.0) & (alpha >= ALPHA_MIN) & pair_valid[:, None]
+            alpha = jnp.where(use, alpha, 0.0)
+
+            # Inclusive within-chunk transmittance (log-space cumprod).
+            log1m = jnp.log1p(-alpha)
+            t_incl = T[None, :] * jnp.exp(jnp.cumsum(log1m, axis=0))
+            frozen = (t_incl < T_EPS) | done[None, :]
+            alpha_eff = jnp.where(frozen, 0.0, alpha)
+
+            log1m_eff = jnp.log1p(-alpha_eff)
+            cum_eff = jnp.cumsum(log1m_eff, axis=0)
+            t_exc = T[None, :] * jnp.exp(cum_eff - log1m_eff)
+            w = alpha_eff * t_exc  # (K, P)
+
+            # HIGHEST precision: on TPU the default f32 matmul runs in
+            # bf16 passes (~1e-3 error) which would break oracle parity;
+            # this (P, K) @ (K, CH) accumulation is tiny vs the VPU work.
+            accum = accum + jnp.dot(
+                w.T,
+                col,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (P, CH)
+            T = T * jnp.exp(cum_eff[-1])
+            done = done | jnp.any((t_incl < T_EPS) & use, axis=0)
+            return (accum, T, done), None
+
+        init = (
+            jnp.zeros((p, n_ch), jnp.float32),
+            jnp.ones((p,), jnp.float32),
+            jnp.zeros((p,), bool),
+        )
+        (accum, T, _), _ = jax.lax.scan(
+            chunk_step, init, jnp.arange(max_chunks, dtype=jnp.int32)
+        )
+        return accum, T
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    accum, T = jax.vmap(tile_fn)(tids, bins.tile_start, bins.tile_end)
+    # (num_tiles, P, CH) -> (H_pad, W_pad, CH) -> crop
+    img = accum.reshape(tiles_y, tiles_x, TILE, TILE, n_ch)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, n_ch)
+    Tm = T.reshape(tiles_y, tiles_x, TILE, TILE)
+    Tm = Tm.transpose(0, 2, 1, 3).reshape(tiles_y * TILE, tiles_x * TILE)
+    return img[:height, :width], Tm[:height, :width]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "pairs_per_gaussian", "chunk", "max_chunks"),
+)
+def rasterize(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    pairs_per_gaussian: int = 32,
+    chunk: int = 64,
+    max_chunks: int = 16,
+) -> dict:
+    """Full tile rasterization of projected Gaussians.
+
+    Returns dict with `render` (H, W, 3), `render_object` (H, W, C_obj),
+    `final_transmittance` (H, W) and `num_culled_pairs` (static-capacity
+    overflow diagnostic).
+    """
+    bins = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius, width, height, pairs_per_gaussian
+    )
+    channels = jnp.concatenate([proj.color, proj.obj], axis=-1)
+    img, T = _blend_tiles(
+        bins,
+        proj.mean2d,
+        proj.conic,
+        proj.opacity,
+        channels,
+        width,
+        height,
+        chunk,
+        max_chunks,
+    )
+    n_ch = channels.shape[-1]
+    bg_full = jnp.concatenate([bg, jnp.zeros(n_ch - bg.shape[0], bg.dtype)])
+    img = img + T[..., None] * bg_full[None, None, :]
+    return {
+        "render": img[..., :3],
+        "render_object": img[..., 3:],
+        "final_transmittance": T,
+        "num_culled_pairs": bins.num_culled_pairs,
+    }
