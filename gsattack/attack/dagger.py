@@ -1,0 +1,273 @@
+"""DAGGER attack driver — the orchestration loop of the reference's
+`attack.py run()` (`attack.py:205-607`) re-built as a thin host loop around
+one jitted render+loss+grad step.
+
+TPU-first differences from the reference (SURVEY.md §7 stage 5):
+  * the forward over a batch of views is a single vmapped+jitted function,
+    not a Python loop of rasterizer calls (`attack.py:481-485`);
+  * no deepcopy-per-iteration: the eval overlay scene is the pure
+    `scene.concat(frozen)` of pytrees (`attack.py:513-520`);
+  * the benign silhouette-bbox pass runs on-device (attack/silhouette.py)
+    instead of PNG+PIL round trips (`attack.py:433-461`);
+  * success checks (host, eval-mode) can be throttled via `eval_every`.
+
+Faithful behavior kept: yaw-augmented extra cameras (7 deg * i,
+`attack.py:404-415`), truncation to a batch-size multiple (:417-423),
+per-batch iteration budget with batch drop (:465-473), the >= B-1 batch
+success rule (:556-569), and the adversarial PLY artifact on completion
+(:566-568, `output/{scene}_adv_{detector}.ply`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera, CameraExtrinsics, stack_cameras
+from ..core.scene import GaussianScene
+from ..models.base import Detector
+from ..render import render
+from .pgd import pgd_attack_step
+from .silhouette import silhouette_bbox
+
+
+@dataclasses.dataclass
+class AttackConfig:
+    """Attack knobs — same surface as `configs/config.yaml:46-58`."""
+
+    epsilon: float = 5.0
+    alpha: float = 0.5
+    max_iters: int = 100
+    batch_mode: bool = True
+    batch_size: int = 5
+    attack_conf_thresh: float = 0.25
+    is_targeted: bool = True
+    target: Optional[int] = None
+    untarget: Optional[int] = None
+    attributes: tuple = ("color",)
+    norm: str = "l2"
+    add_cams: int = 0
+    shift_amount: float = 0.15
+    white_background: bool = False
+    eval_every: int = 1
+    scene_name: str = "scene"
+    detector_name: str = "toy"
+    output_dir: str = "output"
+    preds_dir: Optional[str] = None  # save predict_and_save images when set
+    pairs_per_gaussian: int = 32
+    max_chunks: int = 16
+    save_ply: bool = True
+
+
+@dataclasses.dataclass
+class AttackResult:
+    scene: GaussianScene
+    success: bool
+    iterations: int
+    losses: list
+    per_view_success: list
+    adv_ply_path: Optional[str] = None
+
+
+def render_views(
+    scene: GaussianScene,
+    cams: Camera,
+    bg: jnp.ndarray,
+    pairs_per_gaussian: int = 32,
+    max_chunks: int = 16,
+) -> jnp.ndarray:
+    """Vmapped multi-view render -> (B, H, W, 3). `cams` is a stacked Camera."""
+
+    def one(cam):
+        return render(
+            scene,
+            cam,
+            bg,
+            pairs_per_gaussian=pairs_per_gaussian,
+            max_chunks=max_chunks,
+        )["render"]
+
+    return jax.vmap(one)(cams)
+
+
+def expand_viewpoints(
+    cameras: Sequence[CameraExtrinsics], add_cams: int
+) -> list[CameraExtrinsics]:
+    """Yaw-augmented extra viewpoints (`attack.py:404-415`)."""
+    out = list(cameras)
+    for i in range(1, add_cams):
+        out.append(cameras[0].yaw(7 * i))
+    return out
+
+
+def run_dagger(
+    scene: GaussianScene,
+    cameras: Sequence[CameraExtrinsics],
+    detector: Detector,
+    cfg: AttackConfig,
+    frozen_scene: Optional[GaussianScene] = None,
+    attack_mask: Optional[np.ndarray] = None,
+    log: Callable[[str], None] = print,
+) -> AttackResult:
+    """Run the DAGGER PGD attack. `scene` holds the attacked splats;
+    `frozen_scene` (optional) is overlaid for the success-evaluation render
+    (the reference's gaussians_original concat)."""
+    detector.load_model()
+    originals = jax.tree_util.tree_map(jnp.array, scene.params())
+    mask = None if attack_mask is None else jnp.asarray(attack_mask)
+
+    views = expand_viewpoints(cameras, cfg.add_cams)
+    if cfg.batch_mode and cfg.batch_size > 0:
+        rem = len(views) % cfg.batch_size
+        if rem:
+            log(f"[Info] Truncating {rem} camera(s) to a batch_size multiple.")
+            views = views[: len(views) - rem]
+    batch_size = cfg.batch_size if cfg.batch_mode else 1
+    num_batches = (
+        math.ceil(len(views) / batch_size) if cfg.batch_mode and batch_size else 1
+    )
+
+    built = [v.build() for v in views]
+    assert len({(c.width, c.height) for c in built}) == 1, (
+        "all attack views must share a resolution for batched rendering"
+    )
+
+    bg = (
+        jnp.ones(3, jnp.float32)
+        if cfg.white_background
+        else jnp.zeros(3, jnp.float32)
+    )
+    black = jnp.zeros(3, jnp.float32)
+
+    # ---- benign pass: silhouette GT boxes on black bg (attack.py:433-461)
+    @jax.jit
+    def benign_bbox(cam):
+        img = render(
+            scene,
+            cam,
+            black,
+            pairs_per_gaussian=cfg.pairs_per_gaussian,
+            max_chunks=cfg.max_chunks,
+        )["render"]
+        return silhouette_bbox(img)
+
+    gt_bboxes = np.stack([np.asarray(benign_bbox(c)) for c in built])
+
+    # ---- the jitted attack step: batched render -> detector loss -> grads
+    target_idx = cfg.target if cfg.target is not None else 0
+
+    def loss_fn(params, cams, bboxes):
+        sc = scene.with_params(params)
+        imgs = render_views(
+            sc, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks
+        )
+        return detector.loss(imgs, target_idx, bboxes)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    @jax.jit
+    def step_fn(params, grads):
+        sc = scene.with_params(params)
+        sc = pgd_attack_step(
+            sc,
+            grads,
+            originals,
+            cfg.alpha,
+            cfg.epsilon,
+            cfg.attributes,
+            cfg.norm,
+            cfg.is_targeted,
+            mask,
+        )
+        return sc.params()
+
+    params = jax.tree_util.tree_map(jnp.array, scene.params())
+    pending = list(range(len(built)))
+    pending_boxes = list(gt_bboxes)
+    losses: list[float] = []
+    per_view_success: list[bool] = []
+    it = 0
+    all_done = False
+
+    for it in range(cfg.max_iters * num_batches):
+        if cfg.batch_mode and not pending:
+            break
+        if cfg.batch_mode and (it + 1) % cfg.max_iters == 0:
+            log(
+                f"[Info] Per-batch budget of {cfg.max_iters} iterations hit; "
+                "moving to next batch."
+            )
+            pending = pending[batch_size:]
+            pending_boxes = pending_boxes[batch_size:]
+            continue
+
+        cur = pending[:batch_size] if cfg.batch_mode else pending[:1]
+        cur_boxes = np.stack(pending_boxes[: len(cur)])
+        cams = stack_cameras([built[i] for i in cur])
+
+        loss, grads = grad_fn(params, cams, jnp.asarray(cur_boxes))
+        losses.append(float(loss))
+        log(f"Iteration: {it}, Loss: {float(loss)}")
+        params = step_fn(params, grads)
+
+        if (it % cfg.eval_every) != 0:
+            continue
+
+        # ---- success evaluation on the overlay scene (attack.py:513-600)
+        adv = scene.with_params(params)
+        eval_scene = adv.concat(frozen_scene) if frozen_scene is not None else adv
+        eval_imgs = np.asarray(
+            render_views(eval_scene, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks)
+        )
+        successes = []
+        for j, vi in enumerate(cur):
+            path = (
+                os.path.join(cfg.preds_dir, f"render_it{it}_c{j}.png")
+                if cfg.preds_dir
+                else None
+            )
+            ok = detector.predict_and_save(
+                image=eval_imgs[j],
+                path=path,
+                target=cfg.target,
+                untarget=cfg.untarget,
+                is_targeted=cfg.is_targeted,
+                threshold=cfg.attack_conf_thresh,
+                gt_bbox=cur_boxes[j],
+            )
+            successes.append(bool(ok))
+        n_ok = sum(successes)
+        log(f"Successes: {n_ok}/{len(cur)}")
+        if n_ok >= len(cur) - (1 if cfg.batch_mode and len(cur) > 1 else 0):
+            per_view_success.extend(successes)
+            pending = pending[len(cur) :]
+            pending_boxes = pending_boxes[len(cur) :]
+            if not pending:
+                all_done = True
+                log("All camera viewpoints attacked successfully")
+                break
+
+    final = scene.with_params(params)
+    ply_path = None
+    if all_done and cfg.save_ply:
+        from ..io.ply import save_scene_ply
+
+        ply_path = os.path.join(
+            cfg.output_dir, f"{cfg.scene_name}_adv_{cfg.detector_name}.ply"
+        )
+        log(f"saving gaussians to {ply_path}")
+        save_scene_ply(final, ply_path)
+    return AttackResult(
+        scene=final,
+        success=all_done,
+        iterations=it + 1,
+        losses=losses,
+        per_view_success=per_view_success,
+        adv_ply_path=ply_path,
+    )

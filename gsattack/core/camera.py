@@ -161,5 +161,8 @@ def stack_cameras(cams: list[Camera]) -> Camera:
     assert len({(c.width, c.height) for c in cams}) == 1, "resolutions differ"
     import jax
 
+    # uid/image_name are static pytree metadata and would make treedefs
+    # unequal across views — normalize them away for the batched camera.
+    cams = [c.replace(uid=0, image_name="") for c in cams]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
     return stacked
