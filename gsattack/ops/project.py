@@ -53,7 +53,9 @@ def compute_cov2d(
     """EWA splatting: project 3D covariance to 2D screen space. (N,3) packed
     (cov_xx, cov_xy, cov_yy) with the +0.3 low-pass on the diagonal."""
     t = (xyz @ view[:3, :3].T) + view[:3, 3]  # view-space positions (N,3)
-    tz = t[:, 2]
+    # Double-where guard: points at/behind the near plane are culled later,
+    # but a raw 1/tz would poison *gradients* of masked-out lanes with NaNs.
+    tz = jnp.where(t[:, 2] > 0.2, t[:, 2], 1.0)
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
     txtz = jnp.clip(t[:, 0] / tz, -limx, limx)
@@ -107,6 +109,9 @@ def project(
     # Clip-space -> pixel coords via the full projection matrix.
     hom = (xyz @ camera.full_proj[:3, :3].T) + camera.full_proj[:3, 3]
     w = (xyz @ camera.full_proj[3:4, :3].T)[:, 0] + camera.full_proj[3, 3]
+    # Same double-where guard as the covariance path: culled points must not
+    # emit inf/NaN that would leak into gradients through jnp.where.
+    w = jnp.where(in_front, w, 1.0)
     inv_w = 1.0 / (w + 1e-7)
     ndc = hom * inv_w[:, None]
     mean2d = jnp.stack(

@@ -154,7 +154,11 @@ def _blend_tiles(
                 -0.5 * (con[:, 0:1] * dx * dx + con[:, 2:3] * dy * dy)
                 - con[:, 1:2] * dx * dy
             )
-            alpha = jnp.minimum(ALPHA_MAX, op[:, None] * jnp.exp(power))
+            # power > 0 is masked out below; clamp before exp so overflowing
+            # lanes can't poison the VJP with inf * 0 = NaN.
+            alpha = jnp.minimum(
+                ALPHA_MAX, op[:, None] * jnp.exp(jnp.minimum(power, 0.0))
+            )
             use = (power <= 0.0) & (alpha >= ALPHA_MIN) & pair_valid[:, None]
             alpha = jnp.where(use, alpha, 0.0)
 

@@ -64,7 +64,9 @@ def blend_oracle(
         dx = xs - m2d[0]
         dy = ys - m2d[1]
         power = -0.5 * (con[0] * dx * dx + con[2] * dy * dy) - con[1] * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+        # Clamp before exp: power > 0 is masked below, and an overflowed exp
+        # would otherwise poison the VJP (inf * 0 = NaN).
+        alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(jnp.minimum(power, 0.0)))
         use = (power <= 0.0) & (alpha >= ALPHA_MIN) & (rad > 0)
         if tile_aligned_cull:
             # Inria getRect: tile range touched by the radius bbox.

@@ -1,0 +1,249 @@
+"""3DGS training loop — the subsystem the reference *requires* but does not
+vendor (it lives in the non-vendored gaussian-splatting submodule,
+SURVEY.md §0/§7 stage 8); required for CLOAK poisoned-view training.
+
+Built TPU-first: one jitted `train_step` (render -> (1-l)L1 + l(1-SSIM) ->
+Adam with the reference's per-group learning rates -> densification stats),
+a jitted static-capacity densify/prune (train/densify.py), and host-side
+orchestration for schedules, SH degree warmup and capacity growth.
+
+Hyperparameter defaults mirror `OptimizationParams`
+(`arguments/__init__.py:71-90`) and `configs/config.yaml:23-44`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..core.camera import Camera
+from ..core.scene import GaussianScene
+from ..render import render
+from ..utils.losses import dssim_l1_loss, expon_lr_schedule
+from .densify import (
+    DensifyStats,
+    add_densification_stats,
+    densify_and_prune,
+    grow_capacity,
+    reset_opacity,
+)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    iterations: int = 30_000
+    position_lr_init: float = 1.6e-4
+    position_lr_final: float = 1.6e-6
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 2.5e-3
+    opacity_lr: float = 0.05
+    scaling_lr: float = 5e-3
+    rotation_lr: float = 1e-3
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3_000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 2e-4
+    min_opacity: float = 0.005
+    max_screen_size: float = 20.0
+    white_background: bool = False
+    sh_increase_interval: int = 1_000
+    capacity_headroom: float = 1.5
+    pairs_per_gaussian: int = 32
+    max_chunks: int = 16
+    spatial_lr_scale: float = 1.0
+
+
+class TrainState(struct.PyTreeNode):
+    scene: GaussianScene
+    opt_state: optax.OptState
+    stats: DensifyStats
+    step: jnp.ndarray
+
+
+def make_lr_tree(cfg: TrainConfig):
+    """Per-group learning rates (`training_setup`,
+    `scene/gaussian_model.py:160-179`): xyz on the exponential schedule
+    scaled by spatial extent, f_rest at feature_lr / 20."""
+    xyz_sched = expon_lr_schedule(
+        cfg.position_lr_init * cfg.spatial_lr_scale,
+        cfg.position_lr_final * cfg.spatial_lr_scale,
+        lr_delay_mult=cfg.position_lr_delay_mult,
+        max_steps=cfg.position_lr_max_steps,
+    )
+
+    def lr_tree(step):
+        return {
+            "xyz": xyz_sched(step),
+            "f_dc": cfg.feature_lr,
+            "f_rest": cfg.feature_lr / 20.0,
+            "opacity_logit": cfg.opacity_lr,
+            "log_scale": cfg.scaling_lr,
+            "quat": cfg.rotation_lr,
+            "obj_dc": cfg.feature_lr,
+        }
+
+    return lr_tree
+
+
+class Trainer:
+    """Host-side orchestration around the jitted step functions."""
+
+    def __init__(
+        self,
+        scene: GaussianScene,
+        cfg: TrainConfig,
+        cameras_extent: float = 1.0,
+    ):
+        self.cfg = cfg
+        self.cameras_extent = cameras_extent
+        capacity = int(scene.num_points * cfg.capacity_headroom)
+        scene = scene.pad_to(capacity)
+        self.adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
+        self.lr_tree = make_lr_tree(cfg)
+        self.state = TrainState(
+            scene=scene,
+            opt_state=self.adam.init(scene.params()),
+            stats=DensifyStats.zeros(capacity),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self._step_fn = jax.jit(self._train_step)
+
+    # ---- one jitted training step ----------------------------------------
+
+    def _train_step(self, state: TrainState, camera: Camera, gt: jnp.ndarray):
+        cfg = self.cfg
+        bg = jnp.ones(3) if cfg.white_background else jnp.zeros(3)
+        scene0 = state.scene
+
+        def loss_fn(params, mean2d_offset):
+            sc = scene0.with_params(params)
+            out = render(
+                sc,
+                camera,
+                bg,
+                mean2d_offset=mean2d_offset,
+                pairs_per_gaussian=cfg.pairs_per_gaussian,
+                max_chunks=cfg.max_chunks,
+            )
+            loss = dssim_l1_loss(out["render"], gt, cfg.lambda_dssim)
+            return loss, out["radii"]
+
+        params = scene0.params()
+        offset = jnp.zeros((scene0.num_points, 2))
+        (loss, radii), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            params, offset
+        )
+        param_grads, mean2d_grad = grads
+
+        updates, opt_state = self.adam.update(param_grads, state.opt_state, params)
+        lrs = self.lr_tree(state.step)
+        params = jax.tree_util.tree_map(
+            lambda p, u, lr: p - lr * u, params, updates, lrs
+        )
+        stats = add_densification_stats(state.stats, mean2d_grad, radii)
+        new_scene = scene0.with_params(params)
+        return (
+            TrainState(
+                scene=new_scene,
+                opt_state=opt_state,
+                stats=stats,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    # ---- host loop --------------------------------------------------------
+
+    def train_step(self, camera: Camera, gt: jnp.ndarray) -> float:
+        self.state, loss = self._step_fn(self.state, camera, gt)
+        return float(loss)
+
+    def maybe_densify(self, iteration: int, key: jax.Array) -> None:
+        cfg = self.cfg
+        if not (
+            cfg.densify_from_iter <= iteration <= cfg.densify_until_iter
+            and iteration % cfg.densification_interval == 0
+        ):
+            return
+        use_screen = iteration > cfg.opacity_reset_interval
+        scene, stats, dropped = densify_and_prune(
+            self.state.scene,
+            self.state.stats,
+            key,
+            max_grad=cfg.densify_grad_threshold,
+            min_opacity=cfg.min_opacity,
+            extent=self.cameras_extent,
+            percent_dense=cfg.percent_dense,
+            max_screen_size=cfg.max_screen_size,
+            use_screen_limit=use_screen,
+        )
+        if int(dropped) > 0:
+            scene, stats = grow_capacity(scene, stats, cfg.capacity_headroom)
+            self.state = TrainState(
+                scene=scene,
+                opt_state=self.adam.init(scene.params()),
+                stats=stats,
+                step=self.state.step,
+            )
+        else:
+            # Densification changed point identities: reset Adam moments (the
+            # reference rebuilds optimizer slots similarly,
+            # `scene/gaussian_model.py:608-650`).
+            self.state = TrainState(
+                scene=scene,
+                opt_state=self.adam.init(scene.params()),
+                stats=stats,
+                step=self.state.step,
+            )
+
+    def maybe_reset_opacity(self, iteration: int) -> None:
+        cfg = self.cfg
+        if iteration % cfg.opacity_reset_interval == 0 and iteration > 0:
+            scene = reset_opacity(self.state.scene)
+            self.state = self.state.replace(
+                scene=scene, opt_state=self.adam.init(scene.params())
+            )
+
+    def maybe_increase_sh(self, iteration: int) -> None:
+        if (
+            iteration % self.cfg.sh_increase_interval == 0
+            and iteration > 0
+            and self.state.scene.active_sh_degree < self.state.scene.max_sh_degree
+        ):
+            scene = self.state.scene.oneup_sh_degree()
+            self.state = self.state.replace(scene=scene)
+            self._step_fn = jax.jit(self._train_step)  # degree is static
+
+    def fit(
+        self,
+        cameras: Sequence[Camera],
+        gt_images: Sequence[np.ndarray],
+        iterations: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        log: Callable[[int, float], None] = lambda i, l: None,
+    ) -> GaussianScene:
+        """Full training loop: random view per iteration (the standard 3DGS
+        camera sampling), densify/prune/opacity-reset schedules."""
+        iterations = iterations or self.cfg.iterations
+        key = key if key is not None else jax.random.PRNGKey(0)
+        n = len(cameras)
+        gts = [jnp.asarray(g) for g in gt_images]
+        for it in range(1, iterations + 1):
+            key, k1, k2 = jax.random.split(key, 3)
+            vi = int(jax.random.randint(k1, (), 0, n))
+            loss = self.train_step(cameras[vi], gts[vi])
+            log(it, loss)
+            self.maybe_increase_sh(it)
+            self.maybe_densify(it, k2)
+            self.maybe_reset_opacity(it)
+        return self.state.scene

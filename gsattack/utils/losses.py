@@ -1,0 +1,117 @@
+"""Image losses/metrics: L1, L2, gaussian-window SSIM, MSE, PSNR.
+
+jnp equivalents of the reference's `utils/loss_utils.py` (window 11,
+sigma 1.5 SSIM used by 3DGS training) and `utils/image_utils.py:14-19`.
+Images are (..., H, W, C) channel-last.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(pred - gt).mean()
+
+
+def l2_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return ((pred - gt) ** 2).mean()
+
+
+def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return ((a - b) ** 2).reshape(a.shape[0], -1).mean(1, keepdims=True) if a.ndim > 3 else ((a - b) ** 2).mean()
+
+
+def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    m = ((a - b) ** 2).mean()
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(m))
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2 * sigma**2))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Mean SSIM with a gaussian window, matching `utils/loss_utils.py:23-63`
+    (same-pad depthwise convolution). Accepts (H, W, C) or (B, H, W, C)."""
+    if img1.ndim == 3:
+        img1 = img1[None]
+        img2 = img2[None]
+    c = img1.shape[-1]
+    w = jnp.asarray(_gaussian_window(window_size, sigma))
+    kernel = jnp.tile(w[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
+
+    def filt(x):
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            (1, 1),
+            [(window_size // 2, window_size // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    mu1 = filt(img1)
+    mu2 = filt(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = filt(img1 * img1) - mu1_sq
+    s2 = filt(img2 * img2) - mu2_sq
+    s12 = filt(img1 * img2) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
+    )
+    return ssim_map.mean()
+
+
+def dssim_l1_loss(
+    pred: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2
+) -> jnp.ndarray:
+    """The 3DGS training objective: (1-l)L1 + l(1-SSIM)
+    (`arguments/__init__.py:83`, reference training loop)."""
+    return (1.0 - lambda_dssim) * l1_loss(pred, gt) + lambda_dssim * (
+        1.0 - ssim(pred, gt)
+    )
+
+
+def expon_lr_schedule(
+    lr_init: float,
+    lr_final: float,
+    lr_delay_steps: int = 0,
+    lr_delay_mult: float = 1.0,
+    max_steps: int = 1_000_000,
+):
+    """Log-linear lr decay with optional sine-eased delay —
+    `get_expon_lr_func` (`utils/general_utils.py:29-62`), jnp-traced."""
+
+    def helper(step):
+        step = jnp.asarray(step, jnp.float32)
+        if lr_init == 0.0 and lr_final == 0.0:
+            return jnp.zeros_like(step)
+        if lr_delay_steps > 0:
+            delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+                0.5 * math.pi * jnp.clip(step / lr_delay_steps, 0, 1)
+            )
+        else:
+            delay_rate = 1.0
+        t = jnp.clip(step / max_steps, 0, 1)
+        log_lerp = jnp.exp(
+            math.log(max(lr_init, 1e-32)) * (1 - t) + math.log(max(lr_final, 1e-32)) * t
+        )
+        return jnp.where(step < 0, 0.0, delay_rate * log_lerp)
+
+    return helper
