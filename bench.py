@@ -1,0 +1,161 @@
+"""Benchmark: fwd+bwd rasterization throughput on the flagship pipeline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md: "published": {}), so
+vs_baseline is reported against this repo's own north-star bookkeeping
+(1.0 = the recorded value itself). Diagnostics go to stderr.
+
+Runs on whatever JAX platform the environment provides (the driver runs it
+on one real TPU chip). Scene: synthetic nyc_block-scale cloud (default
+100k splats, SH degree 3, 800x800) — the real asset PLYs are git-LFS stubs
+in the reference snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_problem(n_points: int, width: int, height: int, sh_degree: int):
+    import jax.numpy as jnp
+
+    from gsattack.core import make_camera, scene_from_points
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(n_points, 3)).astype(np.float32)
+    pts = pts * np.array([2.0, 2.0, 1.0]) + np.array([0.0, 0.0, 6.0])
+    cols = rng.uniform(0.05, 0.95, size=(n_points, 3))
+    # Realistic footprint: small per-point scales so tile occupancy mirrors a
+    # trained scene rather than a wall of screen-filling splats.
+    knn = np.full(n_points, 1e-4, np.float32)
+    scene = scene_from_points(pts, cols, max_sh_degree=sh_degree, knn_dist2=knn)
+    scene = scene.replace(
+        active_sh_degree=sh_degree,
+        f_rest=jnp.asarray(
+            rng.normal(size=scene.f_rest.shape).astype(np.float32) * 0.02
+        ),
+        opacity_logit=jnp.asarray(
+            rng.normal(size=(n_points, 1)).astype(np.float32)
+        ),
+    )
+    cam = make_camera(
+        np.eye(3), np.zeros(3), 1.0, 1.0 * height / width, width, height
+    )
+    return scene, cam
+
+
+def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int):
+    import jax
+    import jax.numpy as jnp
+
+    from gsattack.render import render
+
+    bg = jnp.zeros(3)
+    target = jnp.zeros((cam.height, cam.width, 3))
+
+    def loss_fn(params):
+        sc = scene.with_params(params)
+        out = render(
+            sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk, max_chunks=max_chunks
+        )
+        return jnp.mean((out["render"] - target) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    params = scene.params()
+    t0 = time.perf_counter()
+    loss, grads = vg(params)
+    jax.block_until_ready(grads)
+    log(f"first fwd+bwd (compile + run): {time.perf_counter() - t0:.1f}s, loss={float(loss):.6f}")
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = vg(params)
+    jax.block_until_ready(grads)
+    dt = time.perf_counter() - t0
+    mpix = cam.width * cam.height * iters / dt / 1e6
+    log(f"fwd+bwd: {iters} iters in {dt:.3f}s -> {mpix:.2f} Mpix/s")
+    return mpix
+
+
+def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int):
+    import jax
+    import jax.numpy as jnp
+
+    from gsattack.render import render
+
+    bg = jnp.zeros(3)
+
+    @jax.jit
+    def fwd(params):
+        sc = scene.with_params(params)
+        return render(
+            sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk, max_chunks=max_chunks
+        )["render"]
+
+    params = scene.params()
+    img = jax.block_until_ready(fwd(params))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = fwd(params)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    mpix = cam.width * cam.height * iters / dt / 1e6
+    log(f"forward: {iters} iters in {dt:.3f}s -> {mpix:.2f} Mpix/s")
+    return mpix
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-points", type=int, default=100_000)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=800)
+    ap.add_argument("--sh-degree", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--pairs", type=int, default=16)
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--max-chunks", type=int, default=16)
+    ap.add_argument("--forward-only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    scene, cam = build_problem(args.n_points, args.width, args.height, args.sh_degree)
+    log(f"scene: {scene.num_points} splats, SH{args.sh_degree}, {args.width}x{args.height}")
+
+    if args.forward_only:
+        mpix = bench_forward(
+            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks
+        )
+        metric = "fwd_mpix_per_s"
+    else:
+        mpix = bench_fwd_bwd(
+            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks
+        )
+        metric = "fwd_bwd_mpix_per_s"
+
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(mpix, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -137,6 +137,7 @@ def _blend_tiles(
         pxf = jnp.broadcast_to(px, (TILE, TILE)).reshape(p).astype(jnp.float32)
         pyf = jnp.broadcast_to(py, (TILE, TILE)).reshape(p).astype(jnp.float32)
 
+        @jax.checkpoint
         def chunk_step(carry, k):
             accum, T, done = carry
             base = start + k * chunk
