@@ -1,0 +1,256 @@
+"""Command-line entries — the counterparts of the reference's Hydra CLIs.
+
+  python -m gsattack.cli attack [scene=<name>] [key=value ...]
+      the DAGGER driver (`attack.py run()`): scene setup in the reference's
+      three modes (whole-scene / combine-splats / grouped), detector load,
+      benign bbox pass, batched PGD (`attack.py:205-607`)
+  python -m gsattack.cli render-eval [overrides]
+      adversarial render evaluation (`utils/render.py`)
+  python -m gsattack.cli asr --benign-log ... --adv-log ... --target car
+      ASR analyzer (`utils/analyze_asr.py`)
+  python -m gsattack.cli coco-ap --log ... --target-class car
+      COCO AP@0.5 analyzer (`utils/analyze_ap_ar.py`)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def _setup_scene_and_views(cfg):
+    """Scene setup in the reference's three modes (`attack.py:292-384`).
+    Returns (attacked_scene, frozen_scene_or_None, views, attack_mask)."""
+    import jax.numpy as jnp
+
+    from .core import scene_from_points
+    from .core.camera import CameraExtrinsics
+    from .core.edit import combine_scene_plys
+    from .io import load_scene_info, load_scene_ply, search_max_iteration
+
+    scene_cfg = cfg.scene
+    if scene_cfg.get("synthetic"):
+        rng = np.random.default_rng(0)
+        n = int(scene_cfg.get("n_points", 256))
+        pts = rng.normal(size=(n, 3)) * 0.5 + np.array([0.0, 0.0, 3.0])
+        cols = rng.uniform(0.1, 0.9, size=(n, 3))
+        scene = scene_from_points(pts, cols, max_sh_degree=cfg.sh_degree)
+        scene = scene.replace(active_sh_degree=cfg.sh_degree)
+        views = [
+            CameraExtrinsics(
+                np.eye(3), np.array([0.0, 0.0, 0.1 * i]), 1.0, 1.0, 128, 128, uid=i
+            )
+            for i in range(4)
+        ]
+        return scene, None, views, None
+
+    info = load_scene_info(
+        scene_cfg.source_path,
+        images=cfg.images,
+        eval_split=cfg.eval,
+        white_background=cfg.white_background,
+        resolution=cfg.resolution,
+        shuffle=cfg.get("shuffle_cams", False),
+        cam_indices=list(scene_cfg.get("cam_indices", []) or []),
+    )
+    views = info.train_cameras
+
+    if cfg.combine_splats:
+        # Mode C (`attack.py:337-368`): merge target + background PLYs; the
+        # target part is attacked, the background is the frozen overlay.
+        paths = scene_cfg.get("combine_splats_paths") or [
+            os.path.join(scene_cfg.model_path, scene_cfg.target_splat),
+            os.path.join(scene_cfg.model_path, scene_cfg.background_splat),
+        ]
+        combined, masks = combine_scene_plys(paths, max_sh_degree=cfg.sh_degree)
+        target_scene = combined.keep_only(jnp.asarray(masks[0])).compact()
+        frozen = combined.keep_only(jnp.asarray(~masks[0])).compact()
+        return target_scene, frozen, views, None
+    else:
+        # Modes A/B (`attack.py:292-335`): load the trained scene PLY.
+        pc_dir = os.path.join(scene_cfg.model_path, "point_cloud")
+        it = search_max_iteration(pc_dir)
+        scene = load_scene_ply(
+            os.path.join(pc_dir, f"iteration_{it}", "point_cloud.ply"),
+            max_sh_degree=cfg.sh_degree,
+        )
+        mask = None
+        if not cfg.no_groups:
+            # Mode A: grouped — classifier + convex hull picks the object.
+            import jax
+
+            from .core.edit import object_selection_mask
+
+            clf_path = os.path.join(scene_cfg.model_path, "classifier.npz")
+            if os.path.exists(clf_path):
+                d = np.load(clf_path)
+                w, b = jnp.asarray(d["weight"]), jnp.asarray(d["bias"])
+            else:
+                key = jax.random.PRNGKey(0)
+                w = jax.random.normal(key, (cfg.num_classes, 16)) * 0.1
+                b = jnp.zeros(cfg.num_classes)
+                logging.warning("no classifier.npz found; using random head")
+            mask = object_selection_mask(
+                scene, w, b, list(cfg.selected_obj_ids), threshold=0.5
+            )
+            mask = jnp.asarray(mask)
+        return scene, None, views, mask
+
+
+def cmd_attack(argv):
+    from .attack import AttackConfig, run_dagger
+    from .models import load_detector
+    from .utils.config import load_config
+
+    ap = argparse.ArgumentParser(prog="gsattack attack")
+    ap.add_argument("--config-dir", default="configs")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config_dir, overrides=args.overrides)
+
+    detector = load_detector(cfg.scene.detector_name)
+    detector.load_model()
+
+    def resolve(label):
+        if label is None:
+            return None
+        try:
+            return detector.resolve_label_index(label)
+        except ValueError:
+            logging.warning("unknown class %r", label)
+            return None
+
+    target = resolve(cfg.scene.get("target"))
+    untarget = resolve(cfg.scene.get("untarget"))
+
+    scene, frozen, views, mask = _setup_scene_and_views(cfg)
+    acfg = AttackConfig(
+        epsilon=cfg.epsilon,
+        alpha=cfg.alpha,
+        max_iters=cfg.max_iters,
+        batch_mode=cfg.batch_mode,
+        batch_size=cfg.batch_size,
+        attack_conf_thresh=cfg.attack_conf_thresh,
+        is_targeted=bool(cfg.scene.get("is_targeted", True)),
+        target=target,
+        untarget=untarget,
+        attributes=tuple(cfg.get("attack_attributes", ["color"])),
+        norm=cfg.get("attack_norm", "l2"),
+        add_cams=cfg.add_cams,
+        shift_amount=cfg.shift_amount,
+        white_background=cfg.white_background,
+        eval_every=cfg.get("eval_every", 1),
+        scene_name=cfg.scene.name,
+        detector_name=cfg.scene.detector_name,
+        output_dir=cfg.splat_asset_path,
+        preds_dir="preds" if cfg.write_images else None,
+        pairs_per_gaussian=cfg.get("pairs_per_gaussian", 32),
+        max_chunks=cfg.get("max_chunks", 16),
+    )
+    res = run_dagger(scene, views, detector, acfg, frozen_scene=frozen, attack_mask=mask)
+    print(
+        f"attack finished: success={res.success} iters={res.iterations} "
+        f"final_loss={res.losses[-1] if res.losses else None} "
+        f"ply={res.adv_ply_path}"
+    )
+    return 0 if res.success else 1
+
+
+def cmd_render_eval(argv):
+    from .evals import RenderEvalConfig, run_render_eval
+    from .models import load_detector
+    from .utils.config import load_config
+
+    ap = argparse.ArgumentParser(prog="gsattack render-eval")
+    ap.add_argument("--config-dir", default="configs")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config_dir, overrides=args.overrides)
+
+    detector = load_detector(cfg.scene.detector_name)
+    detector.load_model()
+    target = cfg.scene.get("target")
+    target_idx = detector.resolve_label_index(target) if target else None
+    scene, frozen, views, _ = _setup_scene_and_views(cfg)
+
+    logger = logging.getLogger("render")
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s"
+    )
+    rcfg = RenderEvalConfig(
+        target=target_idx,
+        untarget=None,
+        is_targeted=bool(cfg.scene.get("is_targeted", True)),
+        attack_conf_thresh=cfg.attack_conf_thresh,
+        white_background=cfg.white_background,
+        save_images=cfg.write_images,
+        pairs_per_gaussian=cfg.get("pairs_per_gaussian", 32),
+        max_chunks=cfg.get("max_chunks", 16),
+    )
+    out = run_render_eval(scene, views, detector, rcfg, frozen_scene=frozen, logger=logger)
+    print(f"rendered {len(out['records'])} cameras -> {out['dirs']}")
+    return 0
+
+
+def cmd_asr(argv):
+    from .evals import analyze_asr_logs
+
+    ap = argparse.ArgumentParser(prog="gsattack asr")
+    ap.add_argument("--benign-log", required=True)
+    ap.add_argument("--adv-log", required=True)
+    ap.add_argument("--target", required=True)
+    args = ap.parse_args(argv)
+    r = analyze_asr_logs(args.benign_log, args.adv_log, args.target)
+    if r is None:
+        print("missing logs")
+        return 1
+    print(f"ASR: {r['successful']}/{r['total']} = {r['asr']:.2%}")
+    return 0
+
+
+def cmd_coco_ap(argv):
+    from .evals import build_coco_jsons, run_coco_eval
+
+    ap = argparse.ArgumentParser(prog="gsattack coco-ap")
+    ap.add_argument("--log", required=True)
+    ap.add_argument("--target-class", required=True)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=800)
+    ap.add_argument("--iou", type=float, default=0.5)
+    ap.add_argument("--out-dir", default=".")
+    args = ap.parse_args(argv)
+    gt = os.path.join(args.out_dir, "gt_coco.json")
+    dt = os.path.join(args.out_dir, "dt_coco.json")
+    build_coco_jsons(args.log, args.width, args.height, gt, dt, args.target_class)
+    run_coco_eval(gt, dt, iou_thr=args.iou)
+    return 0
+
+
+COMMANDS = {
+    "attack": cmd_attack,
+    "render-eval": cmd_render_eval,
+    "asr": cmd_asr,
+    "coco-ap": cmd_coco_ap,
+}
+
+
+def main(argv: Optional[list] = None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("commands:", ", ".join(COMMANDS))
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; known: {', '.join(COMMANDS)}")
+        return 2
+    return COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())
