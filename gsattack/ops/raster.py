@@ -124,10 +124,17 @@ def _blend_tiles(
     n_ch = channels.shape[-1]
     p = TILE * TILE
 
-    # Pad the sorted index list so dynamic slices past the end are safe.
+    # Pre-gather per-pair data ONCE in sorted-pair order: the blend loop then
+    # reads contiguous slices instead of doing 4 scattered row-gathers per
+    # chunk per tile (a major TPU win; the backward turns into one
+    # scatter-add through this gather).
     gidx_pad = jnp.concatenate(
         [bins.gauss_idx, jnp.zeros(chunk, jnp.int32)], axis=0
     )
+    pair_geom = jnp.concatenate(
+        [mean2d, conic, opacity[:, None]], axis=-1
+    )[gidx_pad]  # (P+chunk, 6)
+    pair_col = channels[gidx_pad]  # (P+chunk, CH)
 
     def tile_fn(tile_id, start, end):
         t_y = tile_id // tiles_x
@@ -141,13 +148,15 @@ def _blend_tiles(
         def chunk_step(carry, k):
             accum, T, done = carry
             base = start + k * chunk
-            idx = jax.lax.dynamic_slice(gidx_pad, (base,), (chunk,))
             pair_valid = (base + jnp.arange(chunk, dtype=jnp.int32)) < end
 
-            m = mean2d[idx]  # (K, 2)
-            con = conic[idx]  # (K, 3)
-            op = opacity[idx]  # (K,)
-            col = channels[idx]  # (K, CH)
+            geom = jax.lax.dynamic_slice(pair_geom, (base, 0), (chunk, 6))
+            m = geom[:, 0:2]  # (K, 2)
+            con = geom[:, 2:5]  # (K, 3)
+            op = geom[:, 5]  # (K,)
+            col = jax.lax.dynamic_slice(
+                pair_col, (base, 0), (chunk, n_ch)
+            )  # (K, CH)
 
             dx = pxf[None, :] - m[:, 0:1]  # (K, P)
             dy = pyf[None, :] - m[:, 1:2]
@@ -207,9 +216,59 @@ def _blend_tiles(
     return img[:height, :width], Tm[:height, :width]
 
 
+def _blend_tiles_pallas(
+    bins: TileBins,
+    proj: ProjectedGaussians,
+    channels: jnp.ndarray,
+    width: int,
+    height: int,
+    chunk: int,
+    max_chunks: int,
+    interpret: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas-kernel blend path (ops/pallas_blend.py). The per-pair gathers
+    here are differentiable; their transpose scatter-adds the kernel's
+    per-pair gradients back onto the gaussians."""
+    from .pallas_blend import GEOM_W, pallas_blend
+
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    n_ch = channels.shape[-1]
+    geom_all = jnp.concatenate(
+        [
+            proj.mean2d,
+            proj.conic,
+            proj.opacity[:, None],
+            jnp.zeros((proj.mean2d.shape[0], GEOM_W - 6), jnp.float32),
+        ],
+        axis=-1,
+    )
+    pair_geom = geom_all[bins.gauss_idx]
+    pair_col = channels[bins.gauss_idx]
+    img_t, T_t = pallas_blend(
+        pair_geom,
+        pair_col,
+        bins.tile_start,
+        bins.tile_end,
+        tiles_x,
+        tiles_y,
+        chunk,
+        max_chunks,
+        interpret,
+    )
+    img = img_t.reshape(tiles_y, tiles_x, TILE, TILE, n_ch)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, n_ch)
+    Tm = T_t.reshape(tiles_y, tiles_x, TILE, TILE)
+    Tm = Tm.transpose(0, 2, 1, 3).reshape(tiles_y * TILE, tiles_x * TILE)
+    return img[:height, :width], Tm[:height, :width]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "pairs_per_gaussian", "chunk", "max_chunks"),
+    static_argnames=(
+        "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
+        "backend", "interpret",
+    ),
 )
 def rasterize(
     proj: ProjectedGaussians,
@@ -219,8 +278,13 @@ def rasterize(
     pairs_per_gaussian: int = 32,
     chunk: int = 64,
     max_chunks: int = 16,
+    backend: str = "xla",
+    interpret: bool = False,
 ) -> dict:
     """Full tile rasterization of projected Gaussians.
+
+    `backend`: "xla" (vmapped masked-chunk blend, JAX-AD differentiable) or
+    "pallas" (TPU kernels with hand-written VJP, dynamic per-tile work).
 
     Returns dict with `render` (H, W, 3), `render_object` (H, W, C_obj),
     `final_transmittance` (H, W) and `num_culled_pairs` (static-capacity
@@ -230,17 +294,22 @@ def rasterize(
         proj.mean2d, proj.depth, proj.radius, width, height, pairs_per_gaussian
     )
     channels = jnp.concatenate([proj.color, proj.obj], axis=-1)
-    img, T = _blend_tiles(
-        bins,
-        proj.mean2d,
-        proj.conic,
-        proj.opacity,
-        channels,
-        width,
-        height,
-        chunk,
-        max_chunks,
-    )
+    if backend == "pallas":
+        img, T = _blend_tiles_pallas(
+            bins, proj, channels, width, height, chunk, max_chunks, interpret
+        )
+    else:
+        img, T = _blend_tiles(
+            bins,
+            proj.mean2d,
+            proj.conic,
+            proj.opacity,
+            channels,
+            width,
+            height,
+            chunk,
+            max_chunks,
+        )
     n_ch = channels.shape[-1]
     bg_full = jnp.concatenate([bg, jnp.zeros(n_ch - bg.shape[0], bg.dtype)])
     img = img + T[..., None] * bg_full[None, None, :]

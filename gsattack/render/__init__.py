@@ -37,6 +37,8 @@ def render(
     pairs_per_gaussian: int = 32,
     chunk: int = 64,
     max_chunks: int = 16,
+    backend: str = "xla",
+    interpret: bool = False,
 ) -> dict:
     """Render one camera view. Returns the reference's output schema
     (`render`, `render_object`, `radii`, `visibility_filter`) plus
@@ -52,6 +54,8 @@ def render(
         pairs_per_gaussian=pairs_per_gaussian,
         chunk=chunk,
         max_chunks=max_chunks,
+        backend=backend,
+        interpret=interpret,
     )
     out["radii"] = proj.radius
     out["visibility_filter"] = proj.radius > 0
