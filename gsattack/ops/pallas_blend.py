@@ -4,28 +4,34 @@ Replaces the XLA `_blend_tiles` path (ops/raster.py) for the per-tile
 front-to-back compositing. Why a kernel: the XLA path must run the static
 `max_chunks` worth of work for EVERY tile (masked), while the TPU grid is
 sequential per core, so a kernel can loop exactly `ceil(n_tile / K)` chunks
-per tile and skip empty tiles outright; chunk loads are explicit HBM->VMEM
+per tile and skip all-done tiles early; chunk loads are explicit HBM->VMEM
 DMAs of contiguous sorted-pair slices.
 
-Within a chunk the compositing is the same associative formulation as the
-XLA path (and therefore the oracle, `render/oracle.py`): log-space
-cumulative transmittance, computed with lower-triangular ones-matrix
-matmuls on the MXU (a (K,K) @ (K,P) matmul is far cheaper than a serial
-scan); alpha saturation rules match the reference CUDA blend exactly.
+TPU layout constraints shape the data model (Mosaic requires DMA slices to
+be 128-aligned in the minor dimension):
+  * per-pair data is stored FIELD-MAJOR: geometry (8, P_pad) rows
+    [mx, my, A, B, C, opacity, 0, 0] and colors (CH, P_pad), with every
+    tile's pair range padded to a 128 multiple so chunk slices
+    [:, base:base+K] are aligned (base % 128 == 0, K == 128);
+  * kernel math runs in (pixels, pairs) = (256, 128) orientation — pixels
+    on sublanes, the chunk on lanes; within-chunk cumulative transmittance
+    is an MXU matmul with a triangular ones matrix.
+
+Alpha saturation matches the reference CUDA blend exactly (0.99 clamp,
+1/255 skip, positive-power skip, 1e-4 transmittance stop); parity is tested
+against the oracle-validated XLA path.
 
 The backward kernel replays the forward per tile (storing chunk-boundary
 transmittance/done flags in VMEM) then walks chunks back-to-front
 maintaining the suffix accumulator S_i = sum_{j>i} w_j (c_j . gC) — the
-standard 3DGS backward — emitting per-PAIR gradients; the caller's gather
-transpose (scatter-add over gaussian ids) accumulates them per gaussian.
-
-Geometry is packed per pair as 8 floats: [mx, my, A, B, C, opacity, 0, 0].
+standard 3DGS backward — emitting per-pair gradients in the same packed
+layout; the caller's (differentiable) scatter transpose routes them back
+to the gaussians.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -38,27 +44,24 @@ P_PIX = TILE * TILE
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
-GEOM_W = 8  # packed geometry floats per pair
+GEOM_W = 8  # packed geometry rows per pair
+CHUNK = 128  # pairs per chunk == DMA alignment quantum
 
 _HIGH = jax.lax.Precision.HIGHEST
 
 
-def _tri_matrices(k: int):
-    """Lower-triangular (inclusive) and strictly-lower ones matrices used to
-    compute within-chunk cumulative sums on the MXU. Built with iota so they
-    are traced values, not captured constants (pallas kernels cannot close
-    over device arrays)."""
+def _tri_lanes(k: int, strict: bool):
+    """(K, K) ones matrix for lane-direction cumulative sums: out[:, i] =
+    sum_{j <= i} in[:, j] via in @ M, with M[j, i] = 1 for j <= i (strict:
+    j < i). Built from iota (kernels cannot capture constants)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    incl = (col <= row).astype(jnp.float32)
-    excl = (col < row).astype(jnp.float32)
-    return incl, excl
+    return ((row < col) if strict else (row <= col)).astype(jnp.float32)
 
 
 def _pixel_coords(tile_id, tiles_x):
-    # Integer iota at lane-friendly (1, P_PIX); row-major pixel order within
-    # the 16x16 tile (y = idx // 16, x = idx % 16).
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, P_PIX), 1)
+    """Pixel centers of the 16x16 tile as (P_PIX, 1) columns."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (P_PIX, 1), 0)
     t_y = tile_id // tiles_x
     t_x = tile_id % tiles_x
     px = (t_x * TILE + idx % TILE).astype(jnp.float32)
@@ -66,272 +69,240 @@ def _pixel_coords(tile_id, tiles_x):
     return px, py
 
 
-def _chunk_alpha(geom, valid, pxf, pyf):
-    """(K, GEOM_W) packed geometry -> (alpha (K,P), alpha_pre, clamped, use,
-    dx, dy)."""
-    mx = geom[:, 0:1]
-    my = geom[:, 1:2]
-    A = geom[:, 2:3]
-    B = geom[:, 3:4]
-    C = geom[:, 4:5]
-    op = geom[:, 5:6]
-    dx = pxf - mx  # (K, P)
+def _chunk_alpha(geom, valid_row, pxf, pyf):
+    """geom (GEOM_W, K) field-major -> per (pixel, pair) quantities.
+
+    Returns (alpha (P,K), alpha_pre, clamped, dx, dy, power)."""
+    mx = geom[0:1, :]  # (1, K)
+    my = geom[1:2, :]
+    A = geom[2:3, :]
+    B = geom[3:4, :]
+    C = geom[4:5, :]
+    op = geom[5:6, :]
+    dx = pxf - mx  # (P, K)
     dy = pyf - my
     power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
     alpha_pre = op * jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, alpha_pre)
     clamped = alpha_pre > ALPHA_MAX
-    use = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid
+    use = (power <= 0.0) & (alpha >= ALPHA_MIN) & valid_row
     alpha = jnp.where(use, alpha, 0.0)
-    return alpha, alpha_pre, clamped, use, dx, dy, power
+    return alpha, alpha_pre, clamped, dx, dy, power
 
 
-def _forward_chunk_blend(alpha, T_in, done_in, tri_incl, tri_excl):
-    """Shared forward compositing for one chunk.
+def _forward_chunk_blend(alpha, T_in, done_in):
+    """Forward compositing for one chunk, (P, K) orientation.
 
-    Returns (w (K,P), T_out (1,P), done_out (1,P), alpha_eff)."""
+    T_in/done_in are (P, 1) columns. Returns (w, T_out, done_out)."""
+    k = alpha.shape[1]
     lg = jnp.log1p(-alpha)
-    cum_incl = jnp.dot(tri_incl, lg, preferred_element_type=jnp.float32,
-                       precision=_HIGH)
+    cum_incl = jnp.dot(lg, _tri_lanes(k, False),
+                       preferred_element_type=jnp.float32, precision=_HIGH)
     t_incl = T_in * jnp.exp(cum_incl)
     frozen = (t_incl < T_EPS) | (done_in > 0.5)
     alpha_eff = jnp.where(frozen, 0.0, alpha)
     lg_eff = jnp.log1p(-alpha_eff)
-    cum_exc = jnp.dot(tri_excl, lg_eff, preferred_element_type=jnp.float32,
-                      precision=_HIGH)
+    cum_exc = jnp.dot(lg_eff, _tri_lanes(k, True),
+                      preferred_element_type=jnp.float32, precision=_HIGH)
     t_exc = T_in * jnp.exp(cum_exc)
-    w = alpha_eff * t_exc
-    T_out = T_in * jnp.exp(jnp.sum(lg_eff, axis=0, keepdims=True))
+    w = alpha_eff * t_exc  # (P, K)
+    T_out = T_in * jnp.exp(jnp.sum(lg_eff, axis=1, keepdims=True))
     crossed = jnp.max(
-        jnp.where((t_incl < T_EPS) & (alpha > 0.0), 1.0, 0.0), axis=0, keepdims=True
+        jnp.where((t_incl < T_EPS) & (alpha > 0.0), 1.0, 0.0), axis=1,
+        keepdims=True,
     )
     done_out = jnp.maximum(done_in, crossed)
-    return w, T_out, done_out, alpha_eff
+    return w, T_out, done_out, alpha_eff, t_exc
+
+
+def _valid_row(base, e):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    return (base + lane) < e
 
 
 def _fwd_kernel(
-    starts_ref,
-    ends_ref,
-    geom_hbm,
-    col_hbm,
-    img_ref,
-    geom_s,
-    col_s,
-    sem,
-    *,
-    chunk: int,
-    n_ch: int,
-    tiles_x: int,
+    starts_ref, ends_ref, geom_hbm, col_hbm, out_ref, geom_s, col_s, sem,
+    *, n_ch: int, tiles_x: int,
 ):
     i = pl.program_id(0)
     s = starts_ref[i]
     e = ends_ref[i]
     pxf, pyf = _pixel_coords(i, tiles_x)
-    tri_incl, tri_excl = _tri_matrices(chunk)
-
-    nchunks = jax.lax.div(e - s + chunk - 1, chunk)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    nchunks = jax.lax.div(e - s + CHUNK - 1, CHUNK)
 
     def body(state):
         k, T, done, acc = state
-        base = s + k * chunk
+        base = pl.multiple_of(s + k * CHUNK, CHUNK)
         cp_g = pltpu.make_async_copy(
-            geom_hbm.at[pl.ds(base, chunk)], geom_s, sem
+            geom_hbm.at[:, pl.ds(base, CHUNK)], geom_s, sem
         )
         cp_g.start()
         cp_g.wait()
-        cp_c = pltpu.make_async_copy(col_hbm.at[pl.ds(base, chunk)], col_s, sem)
+        cp_c = pltpu.make_async_copy(
+            col_hbm.at[:, pl.ds(base, CHUNK)], col_s, sem
+        )
         cp_c.start()
         cp_c.wait()
-        valid = (base + k_iota) < e
-        alpha, _, _, _, _, _, _ = _chunk_alpha(geom_s[:], valid, pxf, pyf)
-        w, T, done, _ = _forward_chunk_blend(alpha, T, done, tri_incl, tri_excl)
-        acc = acc + jnp.dot(
-            w.T, col_s[:], preferred_element_type=jnp.float32, precision=_HIGH
+        alpha, _, _, _, _, _ = _chunk_alpha(
+            geom_s[:], _valid_row(base, e), pxf, pyf
+        )
+        w, T, done, _, _ = _forward_chunk_blend(alpha, T, done)
+        # acc (CH, P) += col (CH, K) . w^T (K, P): contract over lanes K
+        acc = acc + jax.lax.dot_general(
+            col_s[:], w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
         )
         return k + 1, T, done, acc
 
     def cond(state):
         k, T, done, _ = state
-        # stop early once every pixel is done (block-level vote)
         return (k < nchunks) & (jnp.min(done) < 0.5)
 
-    T0 = jnp.ones((1, P_PIX), jnp.float32)
-    done0 = jnp.zeros((1, P_PIX), jnp.float32)
-    acc0 = jnp.zeros((P_PIX, n_ch), jnp.float32)
+    T0 = jnp.ones((P_PIX, 1), jnp.float32)
+    done0 = jnp.zeros((P_PIX, 1), jnp.float32)
+    acc0 = jnp.zeros((n_ch, P_PIX), jnp.float32)
     _, T, _, acc = jax.lax.while_loop(cond, body, (0, T0, done0, acc0))
-    # Output packs T as the last channel: TPU block shapes need the last two
-    # dims (divisible by 8, divisible by 128) OR equal to the array dims, so
-    # a separate (1, P_PIX) T output block would be unlowerable.
-    img_ref[0] = jnp.concatenate([acc, T.T], axis=-1)
+    out_ref[0] = jnp.concatenate([acc, T.T], axis=0)  # (CH+1, P)
 
 
 def _bwd_kernel(
-    starts_ref,
-    ends_ref,
-    geom_hbm,
-    col_hbm,
-    gimg_ref,  # (1, P_PIX, CH+1): image cotangent + T cotangent channel
-    dgeom_hbm,
-    dcol_hbm,
-    geom_s,
-    col_s,
-    tchk_ref,
-    donechk_ref,
-    dgeom_s,
-    dcol_s,
-    sem,
-    osem,
-    *,
-    chunk: int,
-    n_ch: int,
-    tiles_x: int,
-    max_chunks: int,
+    starts_ref, ends_ref, geom_hbm, col_hbm, gout_ref, dgeom_hbm, dcol_hbm,
+    geom_s, col_s, tchk_ref, donechk_ref, dgeom_s, dcol_s, sem, osem,
+    *, n_ch: int, tiles_x: int, max_chunks: int,
 ):
     i = pl.program_id(0)
     s = starts_ref[i]
     e = ends_ref[i]
     pxf, pyf = _pixel_coords(i, tiles_x)
-    tri_incl, tri_excl = _tri_matrices(chunk)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-    nchunks = jnp.minimum(jax.lax.div(e - s + chunk - 1, chunk), max_chunks)
+    nchunks = jnp.minimum(jax.lax.div(e - s + CHUNK - 1, CHUNK), max_chunks)
 
     def load_chunk(base):
-        cp_g = pltpu.make_async_copy(geom_hbm.at[pl.ds(base, chunk)], geom_s, sem)
+        cp_g = pltpu.make_async_copy(
+            geom_hbm.at[:, pl.ds(base, CHUNK)], geom_s, sem
+        )
         cp_g.start()
         cp_g.wait()
-        cp_c = pltpu.make_async_copy(col_hbm.at[pl.ds(base, chunk)], col_s, sem)
+        cp_c = pltpu.make_async_copy(
+            col_hbm.at[:, pl.ds(base, CHUNK)], col_s, sem
+        )
         cp_c.start()
         cp_c.wait()
 
     # ---- phase 1: forward replay, store chunk-boundary T / done ----------
     def fwd_body(k, state):
         T, done = state
-        tchk_ref[k, :] = T[0, :]
-        donechk_ref[k, :] = done[0, :]
-        base = s + k * chunk
+        tchk_ref[k, :] = T[:, 0]
+        donechk_ref[k, :] = done[:, 0]
+        base = pl.multiple_of(s + k * CHUNK, CHUNK)
         load_chunk(base)
-        valid = (base + k_iota) < e
-        alpha, _, _, _, _, _, _ = _chunk_alpha(geom_s[:], valid, pxf, pyf)
-        _, T, done, _ = _forward_chunk_blend(alpha, T, done, tri_incl, tri_excl)
+        alpha, _, _, _, _, _ = _chunk_alpha(
+            geom_s[:], _valid_row(base, e), pxf, pyf
+        )
+        _, T, done, _, _ = _forward_chunk_blend(alpha, T, done)
         return T, done
 
-    T0 = jnp.ones((1, P_PIX), jnp.float32)
-    done0 = jnp.zeros((1, P_PIX), jnp.float32)
+    T0 = jnp.ones((P_PIX, 1), jnp.float32)
+    done0 = jnp.zeros((P_PIX, 1), jnp.float32)
     T_final, _ = jax.lax.fori_loop(0, nchunks, fwd_body, (T0, done0))
 
     # ---- phase 2: back-to-front gradient walk ----------------------------
-    gC = gimg_ref[0][:, :n_ch]  # (P, CH)
-    gT = gimg_ref[0][:, n_ch].reshape(1, P_PIX)  # (1, P)
-    gT_term = T_final * gT  # d(T_out)/d alpha chain shares T_out/(1-a)
+    gC = gout_ref[0][:n_ch, :]  # (CH, P)
+    gT = gout_ref[0][n_ch, :].reshape(P_PIX, 1)  # (P, 1)
+    gT_term = T_final * gT  # (P, 1)
 
     def bwd_body(kk, S):
+        # S: (P, 1) suffix sum over later chunks of w * cg
         k = nchunks - 1 - kk
-        base = s + k * chunk
+        base = pl.multiple_of(s + k * CHUNK, CHUNK)
         load_chunk(base)
-        valid = (base + k_iota) < e
-        T_in = tchk_ref[k, :].reshape(1, P_PIX)
-        done_in = donechk_ref[k, :].reshape(1, P_PIX)
-        alpha, alpha_pre, clamped, use, dx, dy, power = _chunk_alpha(
-            geom_s[:], valid, pxf, pyf
+        T_in = tchk_ref[k, :].reshape(P_PIX, 1)
+        done_in = donechk_ref[k, :].reshape(P_PIX, 1)
+        alpha, alpha_pre, clamped, dx, dy, power = _chunk_alpha(
+            geom_s[:], _valid_row(base, e), pxf, pyf
         )
-        lg = jnp.log1p(-alpha)
-        cum_incl = jnp.dot(tri_incl, lg, preferred_element_type=jnp.float32,
-                           precision=_HIGH)
-        t_incl = T_in * jnp.exp(cum_incl)
-        frozen = (t_incl < T_EPS) | (done_in > 0.5)
-        alpha_eff = jnp.where(frozen, 0.0, alpha)
-        lg_eff = jnp.log1p(-alpha_eff)
-        cum_exc = jnp.dot(tri_excl, lg_eff, preferred_element_type=jnp.float32,
-                          precision=_HIGH)
-        t_exc = T_in * jnp.exp(cum_exc)
-        w = alpha_eff * t_exc  # (K, P)
+        w, _, _, alpha_eff, t_exc = _forward_chunk_blend(alpha, T_in, done_in)
 
-        cg = jnp.dot(col_s[:], gC.T, preferred_element_type=jnp.float32,
-                     precision=_HIGH)  # (K, P)
+        # cg[p, j] = col[:, j] . gC[:, p]  -> contract channel dim
+        cg = jax.lax.dot_general(
+            gC, col_s[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_HIGH,
+        )  # (P, K)
         wcg = w * cg
-        # suffix within chunk: S_after_i = S_later + sum_{j>i} wcg_j
+        # within-chunk suffix: suffix[:, i] = sum_{j > i} wcg[:, j]
         suffix = jnp.dot(
-            tri_excl.T, wcg, preferred_element_type=jnp.float32, precision=_HIGH
+            wcg, _tri_lanes(CHUNK, True).T,
+            preferred_element_type=jnp.float32, precision=_HIGH,
         )
-        S_after = suffix + S  # (K, P) + (1, P)
+        S_after = suffix + S  # (P, K) + (P, 1)
         one_m = 1.0 - alpha_eff
         live = alpha_eff > 0.0
         inv_one_m = jnp.where(live, 1.0 / jnp.maximum(one_m, 1e-3), 0.0)
-        dalpha = t_exc * cg - S_after * inv_one_m
-        # transmittance-output gradient: T_out = prod(1-a) * T_in
-        dalpha = dalpha - gT_term * inv_one_m
+        dalpha = t_exc * cg - S_after * inv_one_m - gT_term * inv_one_m
         dalpha = jnp.where(live, dalpha, 0.0)
-        # chain into pre-clamp alpha: alpha_pre = op * exp(min(power, 0))
         dz = jnp.where(clamped, 0.0, dalpha)
         dop_map = dz * jnp.exp(jnp.minimum(power, 0.0))
-        dpower = jnp.where(power <= 0.0, dz * alpha_pre, 0.0)  # (K, P)
+        dpower = jnp.where(power <= 0.0, dz * alpha_pre, 0.0)  # (P, K)
 
-        dA = jnp.sum(dpower * (-0.5 * dx * dx), axis=1)
-        dB = jnp.sum(dpower * (-dx * dy), axis=1)
-        dC = jnp.sum(dpower * (-0.5 * dy * dy), axis=1)
-        A = geom_s[:][:, 2:3]
-        B = geom_s[:][:, 3:4]
-        Cc = geom_s[:][:, 4:5]
-        dmx = jnp.sum(dpower * (A * dx + B * dy), axis=1)
-        dmy = jnp.sum(dpower * (Cc * dy + B * dx), axis=1)
-        dop = jnp.sum(dop_map, axis=1)
+        A = geom_s[:][2:3, :]
+        B = geom_s[:][3:4, :]
+        Cc = geom_s[:][4:5, :]
+        # reduce over pixels (sublane axis 0) -> (K,) rows of dgeom
+        dmx = jnp.sum(dpower * (A * dx + B * dy), axis=0)
+        dmy = jnp.sum(dpower * (Cc * dy + B * dx), axis=0)
+        dA = jnp.sum(dpower * (-0.5 * dx * dx), axis=0)
+        dB = jnp.sum(dpower * (-dx * dy), axis=0)
+        dC = jnp.sum(dpower * (-0.5 * dy * dy), axis=0)
+        dop = jnp.sum(dop_map, axis=0)
         zero = jnp.zeros_like(dop)
-        dgeom = jnp.stack([dmx, dmy, dA, dB, dC, dop, zero, zero], axis=1)
-        dgeom_s[:] = dgeom
+        dgeom_s[:] = jnp.stack([dmx, dmy, dA, dB, dC, dop, zero, zero], axis=0)
+        # dcol (CH, K) = gC (CH, P) @ w (P, K)
         dcol_s[:] = jnp.dot(
-            w, gC, preferred_element_type=jnp.float32, precision=_HIGH
-        )  # (K, CH)
+            gC, w, preferred_element_type=jnp.float32, precision=_HIGH
+        )
 
-        cp_g = pltpu.make_async_copy(dgeom_s, dgeom_hbm.at[pl.ds(base, chunk)], osem)
+        cp_g = pltpu.make_async_copy(
+            dgeom_s, dgeom_hbm.at[:, pl.ds(base, CHUNK)], osem
+        )
         cp_g.start()
         cp_g.wait()
-        cp_c = pltpu.make_async_copy(dcol_s, dcol_hbm.at[pl.ds(base, chunk)], osem)
+        cp_c = pltpu.make_async_copy(
+            dcol_s, dcol_hbm.at[:, pl.ds(base, CHUNK)], osem
+        )
         cp_c.start()
         cp_c.wait()
-        return S + jnp.sum(wcg, axis=0, keepdims=True)
+        return S + jnp.sum(wcg, axis=1, keepdims=True)
 
-    jax.lax.fori_loop(0, nchunks, bwd_body, jnp.zeros((1, P_PIX), jnp.float32))
-
-
-def _pad_pairs(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
-    return jnp.concatenate(
-        [x, jnp.zeros((chunk,) + x.shape[1:], x.dtype)], axis=0
-    )
+    jax.lax.fori_loop(0, nchunks, bwd_body, jnp.zeros((P_PIX, 1), jnp.float32))
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def pallas_blend(
-    pair_geom: jnp.ndarray,  # (P_pairs, 8)
-    pair_col: jnp.ndarray,  # (P_pairs, CH)
-    tile_start: jnp.ndarray,  # (num_tiles,)
-    tile_end: jnp.ndarray,
+    geom_packed: jnp.ndarray,  # (GEOM_W, P_pad) field-major
+    col_packed: jnp.ndarray,  # (CH, P_pad)
+    tile_start: jnp.ndarray,  # (num_tiles,) 128-aligned packed offsets
+    tile_end: jnp.ndarray,  # (num_tiles,) start + count (unpadded count)
     tiles_x: int,
     tiles_y: int,
-    chunk: int = 128,
     max_chunks: int = 64,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (img (num_tiles, P_PIX, CH), T (num_tiles, P_PIX))."""
-    return _pallas_blend_fwd_impl(
-        pair_geom, pair_col, tile_start, tile_end, tiles_x, tiles_y, chunk,
+) -> jnp.ndarray:
+    """Returns packed output (num_tiles, CH+1, P_PIX): blended channels plus
+    the final transmittance as the last channel row."""
+    return _fwd_impl(
+        geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
         max_chunks, interpret,
     )
 
 
-def _pallas_blend_fwd_impl(
-    pair_geom, pair_col, tile_start, tile_end, tiles_x, tiles_y, chunk,
-    max_chunks, interpret,
-):
+def _fwd_impl(geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
+              max_chunks, interpret):
     num_tiles = tiles_x * tiles_y
-    n_ch = pair_col.shape[-1]
-    geom_p = _pad_pairs(pair_geom, chunk)
-    col_p = _pad_pairs(pair_col, chunk)
-    kernel = functools.partial(
-        _fwd_kernel, chunk=chunk, n_ch=n_ch, tiles_x=tiles_x
-    )
+    n_ch = col_packed.shape[0]
+    kernel = functools.partial(_fwd_kernel, n_ch=n_ch, tiles_x=tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -340,102 +311,131 @@ def _pallas_blend_fwd_impl(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, P_PIX, n_ch + 1), lambda i, s, e: (i, 0, 0),
+            (1, n_ch + 1, P_PIX), lambda i, s, e: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((chunk, GEOM_W), jnp.float32),
-            pltpu.VMEM((chunk, n_ch), jnp.float32),
+            pltpu.VMEM((GEOM_W, CHUNK), jnp.float32),
+            pltpu.VMEM((n_ch, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    packed = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, P_PIX, n_ch + 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, n_ch + 1, P_PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_start, tile_end, geom_p, col_p)
-    return packed[..., :n_ch], packed[..., n_ch]
+    )(tile_start, tile_end, geom_packed, col_packed)
 
 
-def _blend_fwd(pair_geom, pair_col, tile_start, tile_end, tiles_x, tiles_y,
-               chunk, max_chunks, interpret):
-    out = _pallas_blend_fwd_impl(
-        pair_geom, pair_col, tile_start, tile_end, tiles_x, tiles_y, chunk,
+def _blend_fwd(geom_packed, col_packed, tile_start, tile_end, tiles_x,
+               tiles_y, max_chunks, interpret):
+    out = _fwd_impl(
+        geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
         max_chunks, interpret,
     )
-    return out, (pair_geom, pair_col, tile_start, tile_end)
+    return out, (geom_packed, col_packed, tile_start, tile_end)
 
 
-def _blend_bwd(tiles_x, tiles_y, chunk, max_chunks, interpret, res, g):
-    pair_geom, pair_col, tile_start, tile_end = res
-    g_img, g_t = g
+def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, res, g_out):
+    geom_packed, col_packed, tile_start, tile_end = res
     num_tiles = tiles_x * tiles_y
-    n_ch = pair_col.shape[-1]
-    n_pairs = pair_geom.shape[0]
-    geom_p = _pad_pairs(pair_geom, chunk)
-    col_p = _pad_pairs(pair_col, chunk)
+    n_ch = col_packed.shape[0]
     kernel = functools.partial(
-        _bwd_kernel, chunk=chunk, n_ch=n_ch, tiles_x=tiles_x,
-        max_chunks=max_chunks,
+        _bwd_kernel, n_ch=n_ch, tiles_x=tiles_x, max_chunks=max_chunks
     )
-    # One flat kernel iteration per tile; per-pair grad arrays are written by
-    # disjoint [start, end) slices, zero elsewhere (pairs are tile-unique).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # geom
-            pl.BlockSpec(memory_space=pltpu.ANY),  # col
-            pl.BlockSpec((1, P_PIX, n_ch + 1), lambda i, s, e: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # g_img (+ g_T channel)
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, n_ch + 1, P_PIX), lambda i, s, e: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dgeom (written via DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dcol
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((chunk, GEOM_W), jnp.float32),
-            pltpu.VMEM((chunk, n_ch), jnp.float32),
-            pltpu.VMEM((max_chunks, P_PIX), jnp.float32),  # T at chunk starts
-            pltpu.VMEM((max_chunks, P_PIX), jnp.float32),  # done flags
-            pltpu.VMEM((chunk, GEOM_W), jnp.float32),  # dgeom staging
-            pltpu.VMEM((chunk, n_ch), jnp.float32),  # dcol staging
+            pltpu.VMEM((GEOM_W, CHUNK), jnp.float32),
+            pltpu.VMEM((n_ch, CHUNK), jnp.float32),
+            pltpu.VMEM((max_chunks, P_PIX), jnp.float32),
+            pltpu.VMEM((max_chunks, P_PIX), jnp.float32),
+            pltpu.VMEM((GEOM_W, CHUNK), jnp.float32),
+            pltpu.VMEM((n_ch, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    n_pad = geom_p.shape[0]
     dgeom, dcol = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, GEOM_W), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, n_ch), jnp.float32),
+            jax.ShapeDtypeStruct(geom_packed.shape, jnp.float32),
+            jax.ShapeDtypeStruct(col_packed.shape, jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-        input_output_aliases={},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        tile_start,
-        tile_end,
-        geom_p,
-        col_p,
-        jnp.concatenate(
-            [
-                g_img.reshape(num_tiles, P_PIX, n_ch),
-                g_t.reshape(num_tiles, P_PIX, 1),
-            ],
-            axis=-1,
-        ),
-    )
-    # Pairs past the last tile's end are the sentinel (invalid) pairs: no
-    # tile owns them, so the kernel never writes their grads — zero them
-    # (valid pairs occupy [0, tile_end[-1]) because the sort is by tile id).
-    covered = jnp.arange(geom_p.shape[0]) < tile_end[-1]
-    dgeom = jnp.where(covered[:, None], dgeom, 0.0)
-    dcol = jnp.where(covered[:, None], dcol, 0.0)
-    return dgeom[:n_pairs], dcol[:n_pairs], None, None
+    )(tile_start, tile_end, geom_packed, col_packed, g_out)
+    # Positions outside every tile's padded range are never written by the
+    # kernel: zero them. Each tile k owns [start_k, start_k + padded_count);
+    # chunk DMAs cover the padded range exactly, and ranges are disjoint and
+    # ascending, so only the region past the last tile's padded end (and any
+    # unwritten head) needs masking.
+    p_pad = geom_packed.shape[1]
+    padded_end = tile_start[-1] + (
+        (tile_end[-1] - tile_start[-1] + CHUNK - 1) // CHUNK
+    ) * CHUNK
+    covered = jnp.arange(p_pad) < padded_end
+    dgeom = jnp.where(covered[None, :], dgeom, 0.0)
+    dcol = jnp.where(covered[None, :], dcol, 0.0)
+    return dgeom, dcol, None, None
 
 
 pallas_blend.defvjp(_blend_fwd, _blend_bwd)
+
+
+def pack_pairs(
+    pair_geom: jnp.ndarray,  # (P, GEOM_W) pair-major geometry
+    pair_col: jnp.ndarray,  # (P, CH)
+    tile_start: jnp.ndarray,  # (num_tiles,) offsets into the sorted pairs
+    tile_end: jnp.ndarray,
+):
+    """Re-layout sorted pairs field-major with every tile's range padded to
+    a CHUNK multiple (the DMA alignment quantum). Differentiable (scatter;
+    its transpose gathers the per-pair grads back).
+
+    Returns (geom_packed (GEOM_W, P_pad), col_packed (CH, P_pad),
+    packed_start, packed_end)."""
+    p = pair_geom.shape[0]
+    num_tiles = tile_start.shape[0]
+    # Sublane alignment: the channel (row) count of every DMA'd array must
+    # be a multiple of 8 — pad color rows with zero channels.
+    ch = pair_col.shape[1]
+    ch_pad = ((ch + 7) // 8) * 8
+    if ch_pad != ch:
+        pair_col = jnp.concatenate(
+            [pair_col, jnp.zeros((p, ch_pad - ch), pair_col.dtype)], axis=1
+        )
+    counts = tile_end - tile_start
+    padded = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    packed_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    packed_end = packed_start + counts
+    p_pad = p + num_tiles * CHUNK  # static upper bound on packed length
+
+    pair_idx = jnp.arange(p)
+    # tile of each sorted pair: the last tile whose start <= idx
+    tile_of = jnp.searchsorted(tile_start, pair_idx, side="right") - 1
+    tile_of = jnp.clip(tile_of, 0, num_tiles - 1)
+    valid = pair_idx < tile_end[-1]
+    pos = packed_start[tile_of] + (pair_idx - tile_start[tile_of])
+    pos = jnp.where(valid, pos, p_pad)  # dump invalid pairs past the end
+
+    geom_packed = jnp.zeros((GEOM_W, p_pad + 1), pair_geom.dtype)
+    geom_packed = geom_packed.at[:, pos].set(pair_geom.T)[:, :p_pad]
+    col_packed = jnp.zeros((pair_col.shape[1], p_pad + 1), pair_col.dtype)
+    col_packed = col_packed.at[:, pos].set(pair_col.T)[:, :p_pad]
+    return geom_packed, col_packed, packed_start, packed_end

@@ -226,10 +226,10 @@ def _blend_tiles_pallas(
     max_chunks: int,
     interpret: bool,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Pallas-kernel blend path (ops/pallas_blend.py). The per-pair gathers
-    here are differentiable; their transpose scatter-adds the kernel's
-    per-pair gradients back onto the gaussians."""
-    from .pallas_blend import GEOM_W, pallas_blend
+    """Pallas-kernel blend path (ops/pallas_blend.py). The per-pair gather +
+    aligned re-pack here are differentiable; their transpose scatter-adds
+    the kernel's per-pair gradients back onto the gaussians."""
+    from .pallas_blend import GEOM_W, pack_pairs, pallas_blend
 
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
@@ -245,17 +245,16 @@ def _blend_tiles_pallas(
     )
     pair_geom = geom_all[bins.gauss_idx]
     pair_col = channels[bins.gauss_idx]
-    img_t, T_t = pallas_blend(
-        pair_geom,
-        pair_col,
-        bins.tile_start,
-        bins.tile_end,
-        tiles_x,
-        tiles_y,
-        chunk,
-        max_chunks,
-        interpret,
+    geom_packed, col_packed, p_start, p_end = pack_pairs(
+        pair_geom, pair_col, bins.tile_start, bins.tile_end
     )
+    packed = pallas_blend(
+        geom_packed, col_packed, p_start, p_end, tiles_x, tiles_y,
+        max_chunks, interpret,
+    )  # (num_tiles, CH_pad+1, P_PIX); T is the last row
+    ch_pad = col_packed.shape[0]
+    img_t = jnp.swapaxes(packed[:, :n_ch, :], 1, 2)  # (tiles, P, CH)
+    T_t = packed[:, ch_pad, :]
     img = img_t.reshape(tiles_y, tiles_x, TILE, TILE, n_ch)
     img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, n_ch)
     Tm = T_t.reshape(tiles_y, tiles_x, TILE, TILE)
