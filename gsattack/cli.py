@@ -231,9 +231,100 @@ def cmd_coco_ap(argv):
     return 0
 
 
+def cmd_train(argv):
+    """3DGS training (the loop the reference leaves in its non-vendored
+    submodule; CLOAK poisoning via --poison-views)."""
+    import jax.numpy as jnp
+
+    from .core import scene_from_points
+    from .io import load_scene_info
+    from .io.checkpoint import save_scene_iteration
+    from .train import TrainConfig, Trainer
+
+    ap = argparse.ArgumentParser(prog="gsattack train")
+    ap.add_argument("--config-dir", default="configs")
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--poison-views", type=int, nargs="*", default=None)
+    ap.add_argument("--poison-target", default=None)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    cfg = load_config_for_cli(args.config_dir, args.overrides)
+
+    info = load_scene_info(
+        cfg.scene.source_path,
+        images=cfg.images,
+        eval_split=cfg.eval,
+        white_background=cfg.white_background,
+        resolution=cfg.resolution,
+        shuffle=True,
+    )
+    missing = [c for c in info.train_cameras if c.image is None]
+    if missing:
+        raise SystemExit(
+            f"{len(missing)} training cameras have no ground-truth images"
+        )
+    scene = scene_from_points(info.points, info.colors, max_sh_degree=cfg.sh_degree)
+    tcfg = TrainConfig(
+        iterations=cfg.iterations,
+        position_lr_init=cfg.position_lr_init,
+        position_lr_final=cfg.position_lr_final,
+        position_lr_delay_mult=cfg.position_lr_delay_mult,
+        position_lr_max_steps=cfg.position_lr_max_steps,
+        feature_lr=cfg.feature_lr,
+        opacity_lr=cfg.opacity_lr,
+        scaling_lr=cfg.scaling_lr,
+        rotation_lr=cfg.rotation_lr,
+        percent_dense=cfg.percent_dense,
+        lambda_dssim=cfg.lambda_dssim,
+        densification_interval=cfg.densification_interval,
+        opacity_reset_interval=cfg.opacity_reset_interval,
+        densify_from_iter=cfg.densify_from_iter,
+        densify_until_iter=cfg.densify_until_iter,
+        densify_grad_threshold=cfg.densify_grad_threshold,
+        white_background=cfg.white_background,
+        spatial_lr_scale=info.nerf_normalization["radius"],
+    )
+    cams = [c.build() for c in info.train_cameras]
+    gts = [c.image for c in info.train_cameras]
+    iters = args.iterations or cfg.iterations
+    if args.poison_views:
+        from .attack.cloak import CloakConfig, run_cloak
+        from .models import load_detector
+
+        det = load_detector(cfg.scene.detector_name)
+        det.load_model()
+        target = det.resolve_label_index(args.poison_target or cfg.scene.target)
+        ccfg = CloakConfig(
+            target=target, is_targeted=True,
+            poison_view_indices=tuple(args.poison_views),
+        )
+        final, _ = run_cloak(
+            scene, cams, gts, det, ccfg, train_cfg=tcfg, iterations=iters,
+            cameras_extent=info.nerf_normalization["radius"],
+        )
+    else:
+        trainer = Trainer(
+            scene, tcfg, cameras_extent=info.nerf_normalization["radius"]
+        )
+        final = trainer.fit(
+            cams, gts, iterations=iters,
+            log=lambda i, l: (i % 100 == 0) and print(f"iter {i}: loss {l:.5f}"),
+        )
+    out = save_scene_iteration(final, cfg.scene.model_path or "output/trained", iters)
+    print(f"saved {out}")
+    return 0
+
+
+def load_config_for_cli(config_dir, overrides):
+    from .utils.config import load_config
+
+    return load_config(config_dir, overrides=overrides)
+
+
 COMMANDS = {
     "attack": cmd_attack,
     "render-eval": cmd_render_eval,
+    "train": cmd_train,
     "asr": cmd_asr,
     "coco-ap": cmd_coco_ap,
 }
