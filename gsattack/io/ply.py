@@ -80,6 +80,21 @@ def read_ply_vertex_table(path: str) -> dict[str, np.ndarray]:
             dtype = np.dtype(
                 [(p, _PLY_DTYPES[t]) for p, t in props]
             ).newbyteorder("<")
+            # Native fast path: all-f32 binary vertex tables (the Gaussian
+            # scene format) de-interleave in parallel C++ (gsattack/native).
+            if (
+                fmt == "binary_little_endian"
+                and name == "vertex"
+                and all(t in ("float", "float32") for _, t in props)
+            ):
+                from .. import native
+
+                cols = native.read_columns(path, f.tell(), count, len(props))
+                if cols is not None:
+                    f.seek(dtype.itemsize * count, 1)
+                    for i, (p, _) in enumerate(props):
+                        out[p] = cols[i]
+                    continue
             if fmt == "binary_little_endian":
                 raw = f.read(dtype.itemsize * count)
                 table = np.frombuffer(raw, dtype=dtype, count=count)
@@ -103,9 +118,12 @@ def write_ply_vertex_table(
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
     header += [f"property float {name}" for name, _ in columns]
     header.append("end_header")
-    data = np.stack(
-        [np.asarray(c, dtype=np.float32).reshape(n) for _, c in columns], axis=1
-    )
+    from .. import native
+
+    cols = [np.asarray(c, dtype=np.float32).reshape(n) for _, c in columns]
+    data = native.interleave(cols)
+    if data is None:
+        data = np.stack(cols, axis=1)
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         f.write(np.ascontiguousarray(data, dtype="<f4").tobytes())
