@@ -122,7 +122,7 @@ def _valid_row(base, e):
 
 def _fwd_kernel(
     starts_ref, ends_ref, geom_hbm, col_hbm, out_ref, geom_s, col_s, sem,
-    *, n_ch: int, tiles_x: int,
+    *, n_ch: int, tiles_x: int, early_exit: bool = True,
 ):
     i = pl.program_id(0)
     s = starts_ref[i]
@@ -163,7 +163,14 @@ def _fwd_kernel(
     T0 = jnp.ones((P_PIX, 1), jnp.float32)
     done0 = jnp.zeros((P_PIX, 1), jnp.float32)
     acc0 = jnp.zeros((n_ch, P_PIX), jnp.float32)
-    _, T, _, acc = jax.lax.while_loop(cond, body, (0, T0, done0, acc0))
+    if early_exit:
+        _, T, _, acc = jax.lax.while_loop(cond, body, (0, T0, done0, acc0))
+    else:
+
+        def fbody(k, st):
+            return body((k, st[0], st[1], st[2]))[1:]
+
+        T, _, acc = jax.lax.fori_loop(0, nchunks, fbody, (T0, done0, acc0))
     out_ref[0] = jnp.concatenate([acc, T.T], axis=0)  # (CH+1, P)
 
 
@@ -279,7 +286,7 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, nchunks, bwd_body, jnp.zeros((P_PIX, 1), jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def pallas_blend(
     geom_packed: jnp.ndarray,  # (GEOM_W, P_pad) field-major
     col_packed: jnp.ndarray,  # (CH, P_pad)
@@ -289,20 +296,23 @@ def pallas_blend(
     tiles_y: int,
     max_chunks: int = 64,
     interpret: bool = False,
+    early_exit: bool = True,
 ) -> jnp.ndarray:
     """Returns packed output (num_tiles, CH+1, P_PIX): blended channels plus
     the final transmittance as the last channel row."""
     return _fwd_impl(
         geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
-        max_chunks, interpret,
+        max_chunks, interpret, early_exit,
     )
 
 
 def _fwd_impl(geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
-              max_chunks, interpret):
+              max_chunks, interpret, early_exit=True):
     num_tiles = tiles_x * tiles_y
     n_ch = col_packed.shape[0]
-    kernel = functools.partial(_fwd_kernel, n_ch=n_ch, tiles_x=tiles_x)
+    kernel = functools.partial(
+        _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x, early_exit=early_exit
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -329,15 +339,15 @@ def _fwd_impl(geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
 
 
 def _blend_fwd(geom_packed, col_packed, tile_start, tile_end, tiles_x,
-               tiles_y, max_chunks, interpret):
+               tiles_y, max_chunks, interpret, early_exit):
     out = _fwd_impl(
         geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
-        max_chunks, interpret,
+        max_chunks, interpret, early_exit,
     )
     return out, (geom_packed, col_packed, tile_start, tile_end)
 
 
-def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, res, g_out):
+def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
     geom_packed, col_packed, tile_start, tile_end = res
     num_tiles = tiles_x * tiles_y
     n_ch = col_packed.shape[0]
