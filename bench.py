@@ -55,7 +55,7 @@ def build_problem(n_points: int, width: int, height: int, sh_degree: int):
     return scene, cam
 
 
-def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int):
+def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla"):
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +67,8 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     def loss_fn(params):
         sc = scene.with_params(params)
         out = render(
-            sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk, max_chunks=max_chunks
+            sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
+            max_chunks=max_chunks, backend=backend,
         )
         return jnp.mean((out["render"] - target) ** 2)
 
@@ -88,7 +89,7 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     return mpix
 
 
-def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int):
+def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla"):
     import jax
     import jax.numpy as jnp
 
@@ -100,7 +101,8 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     def fwd(params):
         sc = scene.with_params(params)
         return render(
-            sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk, max_chunks=max_chunks
+            sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
+            max_chunks=max_chunks, backend=backend,
         )["render"]
 
     params = scene.params()
@@ -126,6 +128,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--max-chunks", type=int, default=16)
     ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -136,12 +139,14 @@ def main():
 
     if args.forward_only:
         mpix = bench_forward(
-            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks
+            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
+            args.backend,
         )
         metric = "fwd_mpix_per_s"
     else:
         mpix = bench_fwd_bwd(
-            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks
+            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
+            args.backend,
         )
         metric = "fwd_bwd_mpix_per_s"
 
