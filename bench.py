@@ -117,6 +117,69 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     return mpix
 
 
+def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
+              backend: str = "xla", batch: int = 2):
+    """End-to-end DAGGER PGD iterations/s: batched multi-view render ->
+    detector loss -> grads -> color-l2 step (the BASELINE.md attack-speed
+    metric), with the toy conv detector as the frozen scoring head."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsattack.attack.pgd import pgd_attack_step
+    from gsattack.core import make_camera, stack_cameras
+    from gsattack.models import ToyDetector
+    from gsattack.render import render
+
+    det = ToyDetector(num_classes=8)
+    det.load_model()
+    cams = stack_cameras(
+        [
+            make_camera(np.eye(3), np.array([0.0, 0.0, 0.05 * i]), 1.0,
+                        cam.height / cam.width, cam.width, cam.height)
+            for i in range(batch)
+        ]
+    )
+    bg = jnp.zeros(3)
+    bboxes = jnp.tile(
+        jnp.array([[cam.width * 0.25, cam.height * 0.25, cam.width * 0.75,
+                    cam.height * 0.75]], jnp.float32), (batch, 1),
+    )
+    originals = scene.params()
+
+    def loss_fn(params):
+        sc = scene.with_params(params)
+
+        def one(c):
+            return render(sc, c, bg, pairs_per_gaussian=pairs, chunk=chunk,
+                          max_chunks=max_chunks, backend=backend)["render"]
+
+        imgs = jax.vmap(one)(cams)
+        return det.loss(imgs, 2, bboxes)
+
+    @jax.jit
+    def pgd_iter(params):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        sc = pgd_attack_step(
+            scene.with_params(params), grads, originals, 0.5, 5.0,
+            ("color",), "l2", True,
+        )
+        return sc.params(), loss
+
+    params = scene.params()
+    t0 = time.perf_counter()
+    params, loss = pgd_iter(params)
+    jax.block_until_ready(loss)
+    log(f"first pgd iter (compile + run): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, loss = pgd_iter(params)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    ips = iters / dt
+    log(f"pgd: {iters} iters ({batch} views each) in {dt:.3f}s -> {ips:.3f} it/s")
+    return ips
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-points", type=int, default=100_000)
@@ -129,6 +192,8 @@ def main():
     ap.add_argument("--max-chunks", type=int, default=16)
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--mode", default="raster", choices=["raster", "pgd"])
+    ap.add_argument("--views", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -137,6 +202,22 @@ def main():
     scene, cam = build_problem(args.n_points, args.width, args.height, args.sh_degree)
     log(f"scene: {scene.num_points} splats, SH{args.sh_degree}, {args.width}x{args.height}")
 
+    if args.mode == "pgd":
+        ips = bench_pgd(
+            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
+            args.backend, args.views,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "pgd_iters_per_s",
+                    "value": round(ips, 4),
+                    "unit": "it/s",
+                    "vs_baseline": 1.0,
+                }
+            )
+        )
+        return
     if args.forward_only:
         mpix = bench_forward(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,

@@ -407,28 +407,34 @@ pallas_blend.defvjp(_blend_fwd, _blend_bwd)
 
 
 def pack_pairs(
-    pair_geom: jnp.ndarray,  # (P, GEOM_W) pair-major geometry
-    pair_col: jnp.ndarray,  # (P, CH)
+    geom_all: jnp.ndarray,  # (N, GEOM_W) per-GAUSSIAN geometry
+    channels: jnp.ndarray,  # (N, CH) per-gaussian colors
+    gauss_idx: jnp.ndarray,  # (P,) sorted pair -> gaussian index
     tile_start: jnp.ndarray,  # (num_tiles,) offsets into the sorted pairs
     tile_end: jnp.ndarray,
 ):
-    """Re-layout sorted pairs field-major with every tile's range padded to
-    a CHUNK multiple (the DMA alignment quantum). Differentiable (scatter;
-    its transpose gathers the per-pair grads back).
+    """Lay out the sorted pairs field-major with every tile's range padded
+    to a CHUNK multiple (the DMA alignment quantum).
 
-    Returns (geom_packed (GEOM_W, P_pad), col_packed (CH, P_pad),
+    Formulated as ONE row-gather + transpose (destination-indexed): for
+    each packed slot q we compute the source pair, compose with gauss_idx,
+    and gather straight from the per-gaussian arrays. A source-indexed
+    scatter along the lane axis was ~40x slower on TPU. Differentiable:
+    the gather's transpose scatter-adds per-pair grads onto the gaussians.
+
+    Returns (geom_packed (GEOM_W, P_pad), col_packed (CH_pad, P_pad),
     packed_start, packed_end)."""
-    p = pair_geom.shape[0]
+    n = geom_all.shape[0]
+    p = gauss_idx.shape[0]
     num_tiles = tile_start.shape[0]
-    # Sublane alignment: the channel (row) count of every DMA'd array must
-    # be a multiple of 8 — pad color rows with zero channels.
-    ch = pair_col.shape[1]
+    # Sublane alignment: channel (row) counts must be multiples of 8.
+    ch = channels.shape[1]
     ch_pad = ((ch + 7) // 8) * 8
     if ch_pad != ch:
-        pair_col = jnp.concatenate(
-            [pair_col, jnp.zeros((p, ch_pad - ch), pair_col.dtype)], axis=1
+        channels = jnp.concatenate(
+            [channels, jnp.zeros((n, ch_pad - ch), channels.dtype)], axis=1
         )
-    counts = tile_end - tile_start
+    counts = (tile_end - tile_start).astype(jnp.int32)
     padded = ((counts + CHUNK - 1) // CHUNK) * CHUNK
     packed_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
@@ -436,16 +442,20 @@ def pack_pairs(
     packed_end = packed_start + counts
     p_pad = p + num_tiles * CHUNK  # static upper bound on packed length
 
-    pair_idx = jnp.arange(p)
-    # tile of each sorted pair: the last tile whose start <= idx
-    tile_of = jnp.searchsorted(tile_start, pair_idx, side="right") - 1
-    tile_of = jnp.clip(tile_of, 0, num_tiles - 1)
-    valid = pair_idx < tile_end[-1]
-    pos = packed_start[tile_of] + (pair_idx - tile_start[tile_of])
-    pos = jnp.where(valid, pos, p_pad)  # dump invalid pairs past the end
+    q = jnp.arange(p_pad, dtype=jnp.int32)
+    t_of_q = (
+        jnp.searchsorted(packed_start, q, side="right").astype(jnp.int32) - 1
+    )
+    t_of_q = jnp.clip(t_of_q, 0, num_tiles - 1)
+    off = q - packed_start[t_of_q]
+    valid_q = off < counts[t_of_q]
+    p_of_q = jnp.where(valid_q, tile_start[t_of_q] + off, p)
+    # compose with the pair -> gaussian map; padding slots hit gaussian n
+    gidx_pad = jnp.concatenate([gauss_idx, jnp.full((1,), n, jnp.int32)])
+    src_gauss = gidx_pad[p_of_q]  # (P_pad,)
 
-    geom_packed = jnp.zeros((GEOM_W, p_pad + 1), pair_geom.dtype)
-    geom_packed = geom_packed.at[:, pos].set(pair_geom.T)[:, :p_pad]
-    col_packed = jnp.zeros((pair_col.shape[1], p_pad + 1), pair_col.dtype)
-    col_packed = col_packed.at[:, pos].set(pair_col.T)[:, :p_pad]
+    zero_row = jnp.zeros((1, GEOM_W), geom_all.dtype)
+    geom_packed = jnp.concatenate([geom_all, zero_row])[src_gauss].T
+    zero_col = jnp.zeros((1, ch_pad), channels.dtype)
+    col_packed = jnp.concatenate([channels, zero_col])[src_gauss].T
     return geom_packed, col_packed, packed_start, packed_end

@@ -243,10 +243,8 @@ def _blend_tiles_pallas(
         ],
         axis=-1,
     )
-    pair_geom = geom_all[bins.gauss_idx]
-    pair_col = channels[bins.gauss_idx]
     geom_packed, col_packed, p_start, p_end = pack_pairs(
-        pair_geom, pair_col, bins.tile_start, bins.tile_end
+        geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end
     )
     packed = pallas_blend(
         geom_packed, col_packed, p_start, p_end, tiles_x, tiles_y,
