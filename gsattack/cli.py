@@ -321,10 +321,50 @@ def load_config_for_cli(config_dir, overrides):
     return load_config(config_dir, overrides=overrides)
 
 
+def cmd_grouping_render(argv):
+    """Gaussian-Grouping scene eval (the reference's root render.py):
+    RGB + PCA object-feature + predicted-object renders and a comparison
+    video per camera split."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .evals import render_grouping_set
+    from .io.checkpoint import load_scene_iteration
+
+    ap = argparse.ArgumentParser(prog="gsattack grouping-render")
+    ap.add_argument("-m", "--model-path", required=True)
+    ap.add_argument("--iteration", type=int, default=-1)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--num-classes", type=int, default=256)
+    ap.add_argument("--config-dir", default="configs")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    cfg = load_config_for_cli(args.config_dir, args.overrides)
+    scene, it = load_scene_iteration(args.model_path, args.iteration, cfg.sh_degree)
+    from .io import load_scene_info
+
+    info = load_scene_info(
+        cfg.scene.source_path or args.model_path, shuffle=False,
+        resolution=cfg.resolution,
+    )
+    classifier = None
+    clf_path = os.path.join(args.model_path, "classifier.npz")
+    if os.path.exists(clf_path):
+        d = np.load(clf_path)
+        classifier = (jnp.asarray(d["weight"]), jnp.asarray(d["bias"]))
+    out_dir = args.out or os.path.join(args.model_path, f"eval_it{it}")
+    cams = [c.build() for c in info.train_cameras]
+    gts = [c.image for c in info.train_cameras if c.image is not None] or None
+    res = render_grouping_set(scene, cams, out_dir, classifier=classifier, gt_images=gts)
+    print(f"rendered {res['num_frames']} frames -> {out_dir} (video: {res['video']})")
+    return 0
+
+
 COMMANDS = {
     "attack": cmd_attack,
     "render-eval": cmd_render_eval,
     "train": cmd_train,
+    "grouping-render": cmd_grouping_render,
     "asr": cmd_asr,
     "coco-ap": cmd_coco_ap,
 }

@@ -443,9 +443,11 @@ def pack_pairs(
     p_pad = p + num_tiles * CHUNK  # static upper bound on packed length
 
     q = jnp.arange(p_pad, dtype=jnp.int32)
-    t_of_q = (
-        jnp.searchsorted(packed_start, q, side="right").astype(jnp.int32) - 1
-    )
+    # tile-of-slot via scatter-marks + cumsum: jnp.searchsorted lowers to a
+    # sequential binary-search loop on TPU (~170ms at this size); marking
+    # each tile's packed start and prefix-summing is pure bandwidth.
+    marks = jnp.zeros(p_pad + 1, jnp.int32).at[packed_start].add(1)
+    t_of_q = (jnp.cumsum(marks[:p_pad]) - 1).astype(jnp.int32)
     t_of_q = jnp.clip(t_of_q, 0, num_tiles - 1)
     off = q - packed_start[t_of_q]
     valid_q = off < counts[t_of_q]
