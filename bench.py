@@ -55,7 +55,7 @@ def build_problem(n_points: int, width: int, height: int, sh_degree: int):
     return scene, cam
 
 
-def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla"):
+def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +68,7 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
         sc = scene.with_params(params)
         out = render(
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
-            max_chunks=max_chunks, backend=backend,
+            max_chunks=max_chunks, backend=backend, pairs_budget=pairs_budget,
         )
         return jnp.mean((out["render"] - target) ** 2)
 
@@ -89,7 +89,7 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     return mpix
 
 
-def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla"):
+def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +102,7 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
         sc = scene.with_params(params)
         return render(
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
-            max_chunks=max_chunks, backend=backend,
+            max_chunks=max_chunks, backend=backend, pairs_budget=pairs_budget,
         )["render"]
 
     params = scene.params()
@@ -191,7 +191,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--max-chunks", type=int, default=16)
     ap.add_argument("--forward-only", action="store_true")
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
+    ap.add_argument("--pairs-budget", type=int, default=-1, help="-1: auto (4*n_points, pallas only)")
     ap.add_argument("--mode", default="raster", choices=["raster", "pgd"])
     ap.add_argument("--views", type=int, default=2)
     args = ap.parse_args()
@@ -201,6 +202,10 @@ def main():
     log(f"devices: {jax.devices()}")
     scene, cam = build_problem(args.n_points, args.width, args.height, args.sh_degree)
     log(f"scene: {scene.num_points} splats, SH{args.sh_degree}, {args.width}x{args.height}")
+    budget = args.pairs_budget
+    if budget < 0:
+        budget = 4 * args.n_points if args.backend == "pallas" else 0
+    log(f"backend={args.backend} pairs_budget={budget}")
 
     if args.mode == "pgd":
         ips = bench_pgd(
@@ -221,13 +226,13 @@ def main():
     if args.forward_only:
         mpix = bench_forward(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend,
+            args.backend, budget,
         )
         metric = "fwd_mpix_per_s"
     else:
         mpix = bench_fwd_bwd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend,
+            args.backend, budget,
         )
         metric = "fwd_bwd_mpix_per_s"
 

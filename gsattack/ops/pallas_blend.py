@@ -412,6 +412,11 @@ def pack_pairs(
     gauss_idx: jnp.ndarray,  # (P,) sorted pair -> gaussian index
     tile_start: jnp.ndarray,  # (num_tiles,) offsets into the sorted pairs
     tile_end: jnp.ndarray,
+    budget: int = 0,  # static cap on packed pairs (0 = no cap). The raw
+    # pair list is N * pairs_per_gaussian with invalid entries sorted to
+    # the tail; typically only a small fraction is valid, so capping the
+    # packed layout at e.g. 4N removes most of the pack bandwidth. Tiles
+    # past the budget are dropped (counted by the caller via tile_end).
 ):
     """Lay out the sorted pairs field-major with every tile's range padded
     to a CHUNK multiple (the DMA alignment quantum).
@@ -434,6 +439,11 @@ def pack_pairs(
         channels = jnp.concatenate(
             [channels, jnp.zeros((n, ch_pad - ch), channels.dtype)], axis=1
         )
+    if budget and budget < p:
+        p = budget
+        gauss_idx = gauss_idx[:p]
+        tile_start = jnp.minimum(tile_start, p)
+        tile_end = jnp.minimum(tile_end, p)
     counts = (tile_end - tile_start).astype(jnp.int32)
     padded = ((counts + CHUNK - 1) // CHUNK) * CHUNK
     packed_start = jnp.concatenate(

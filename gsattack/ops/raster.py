@@ -225,6 +225,7 @@ def _blend_tiles_pallas(
     chunk: int,
     max_chunks: int,
     interpret: bool,
+    pairs_budget: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-kernel blend path (ops/pallas_blend.py). The per-pair gather +
     aligned re-pack here are differentiable; their transpose scatter-adds
@@ -244,7 +245,8 @@ def _blend_tiles_pallas(
         axis=-1,
     )
     geom_packed, col_packed, p_start, p_end = pack_pairs(
-        geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end
+        geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end,
+        budget=pairs_budget,
     )
     packed = pallas_blend(
         geom_packed, col_packed, p_start, p_end, tiles_x, tiles_y,
@@ -264,7 +266,7 @@ def _blend_tiles_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
-        "backend", "interpret",
+        "backend", "interpret", "pairs_budget",
     ),
 )
 def rasterize(
@@ -277,6 +279,7 @@ def rasterize(
     max_chunks: int = 16,
     backend: str = "xla",
     interpret: bool = False,
+    pairs_budget: int = 0,
 ) -> dict:
     """Full tile rasterization of projected Gaussians.
 
@@ -293,7 +296,8 @@ def rasterize(
     channels = jnp.concatenate([proj.color, proj.obj], axis=-1)
     if backend == "pallas":
         img, T = _blend_tiles_pallas(
-            bins, proj, channels, width, height, chunk, max_chunks, interpret
+            bins, proj, channels, width, height, chunk, max_chunks, interpret,
+            pairs_budget,
         )
     else:
         img, T = _blend_tiles(

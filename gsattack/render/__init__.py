@@ -39,6 +39,7 @@ def render(
     max_chunks: int = 16,
     backend: str = "xla",
     interpret: bool = False,
+    pairs_budget: int = 0,
 ) -> dict:
     """Render one camera view. Returns the reference's output schema
     (`render`, `render_object`, `radii`, `visibility_filter`) plus
@@ -56,6 +57,7 @@ def render(
         max_chunks=max_chunks,
         backend=backend,
         interpret=interpret,
+        pairs_budget=pairs_budget,
     )
     out["radii"] = proj.radius
     out["visibility_filter"] = proj.radius > 0
