@@ -199,6 +199,14 @@ def main():
 
     import jax
 
+    # Persistent compilation cache: first compiles over the axon remote
+    # tunnel run 5-16 minutes; warm reruns should skip them entirely.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/gsattack_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
     log(f"devices: {jax.devices()}")
     scene, cam = build_problem(args.n_points, args.width, args.height, args.sh_degree)
     log(f"scene: {scene.num_points} splats, SH{args.sh_degree}, {args.width}x{args.height}")

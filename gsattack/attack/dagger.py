@@ -114,13 +114,38 @@ def run_dagger(
     frozen_scene: Optional[GaussianScene] = None,
     attack_mask: Optional[np.ndarray] = None,
     log: Callable[[str], None] = print,
+    mesh=None,
 ) -> AttackResult:
     """Run the DAGGER PGD attack. `scene` holds the attacked splats;
     `frozen_scene` (optional) is overlaid for the success-evaluation render
-    (the reference's gaussians_original concat)."""
+    (the reference's gaussians_original concat).
+
+    With a `jax.sharding.Mesh` (axes "views", "splats"), the scene/original
+    params shard over splats and each camera batch shards over views — the
+    multi-chip layout the reference lacks (SURVEY §2.4); the batch size
+    must divide by the views axis."""
     detector.load_model()
     originals = jax.tree_util.tree_map(jnp.array, scene.params())
     mask = None if attack_mask is None else jnp.asarray(attack_mask)
+    shard_batch = lambda x: x
+    if mesh is not None:
+        from ..parallel.mesh import SPLATS_AXIS, VIEWS_AXIS
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        splat_sh = NamedSharding(mesh, P(SPLATS_AXIS))
+        originals = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, splat_sh), originals
+        )
+        scene = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, splat_sh)
+            if hasattr(x, "ndim") and x.ndim >= 1
+            else x,
+            scene,
+        )
+        view_sh = NamedSharding(mesh, P(VIEWS_AXIS))
+        shard_batch = lambda c: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, view_sh), c
+        )
 
     views = expand_viewpoints(cameras, cfg.add_cams)
     if cfg.batch_mode and cfg.batch_size > 0:
@@ -209,7 +234,7 @@ def run_dagger(
 
         cur = pending[:batch_size] if cfg.batch_mode else pending[:1]
         cur_boxes = np.stack(pending_boxes[: len(cur)])
-        cams = stack_cameras([built[i] for i in cur])
+        cams = shard_batch(stack_cameras([built[i] for i in cur]))
 
         loss, grads = grad_fn(params, cams, jnp.asarray(cur_boxes))
         losses.append(float(loss))

@@ -95,3 +95,32 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dagger_with_mesh():
+    """DAGGER driver over a (2, 4) mesh: views-sharded batches +
+    splats-sharded scene must produce the same losses as unsharded."""
+    from gsattack.attack import AttackConfig, run_dagger
+    from gsattack.core.camera import CameraExtrinsics
+    from gsattack.models import ToyDetector
+
+    scene = make_toy_scene(n=64, seed=0)
+    views = [
+        CameraExtrinsics(np.eye(3), np.array([0.0, 0.0, 0.05 * i]), 1.0, 1.0, 64, 64)
+        for i in range(2)
+    ]
+    det = ToyDetector(num_classes=8)
+    cfg = AttackConfig(
+        max_iters=3, batch_mode=True, batch_size=2, target=2,
+        eval_every=10, attack_conf_thresh=0.9,
+    )
+    res_plain = run_dagger(scene, views, det, cfg, log=lambda *_: None)
+    mesh = make_mesh((2, 4))
+    res_mesh = run_dagger(scene, views, det, cfg, log=lambda *_: None, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(res_mesh.losses), np.asarray(res_plain.losses), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_mesh.scene.f_dc), np.asarray(res_plain.scene.f_dc),
+        atol=1e-5,
+    )
