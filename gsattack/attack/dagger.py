@@ -62,6 +62,8 @@ class AttackConfig:
     preds_dir: Optional[str] = None  # save predict_and_save images when set
     pairs_per_gaussian: int = 32
     max_chunks: int = 16
+    backend: str = "xla"  # "pallas" on TPU for the fast blend kernels
+    pairs_budget: int = 0
     save_ply: bool = True
 
 
@@ -81,6 +83,8 @@ def render_views(
     bg: jnp.ndarray,
     pairs_per_gaussian: int = 32,
     max_chunks: int = 16,
+    backend: str = "xla",
+    pairs_budget: int = 0,
 ) -> jnp.ndarray:
     """Vmapped multi-view render -> (B, H, W, 3). `cams` is a stacked Camera."""
 
@@ -91,6 +95,8 @@ def render_views(
             bg,
             pairs_per_gaussian=pairs_per_gaussian,
             max_chunks=max_chunks,
+            backend=backend,
+            pairs_budget=pairs_budget,
         )["render"]
 
     return jax.vmap(one)(cams)
@@ -179,6 +185,8 @@ def run_dagger(
             black,
             pairs_per_gaussian=cfg.pairs_per_gaussian,
             max_chunks=cfg.max_chunks,
+            backend=cfg.backend,
+            pairs_budget=cfg.pairs_budget,
         )["render"]
         return silhouette_bbox(img)
 
@@ -190,7 +198,8 @@ def run_dagger(
     def loss_fn(params, cams, bboxes):
         sc = scene.with_params(params)
         imgs = render_views(
-            sc, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks
+            sc, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks,
+            cfg.backend, cfg.pairs_budget,
         )
         return detector.loss(imgs, target_idx, bboxes)
 
@@ -248,7 +257,10 @@ def run_dagger(
         adv = scene.with_params(params)
         eval_scene = adv.concat(frozen_scene) if frozen_scene is not None else adv
         eval_imgs = np.asarray(
-            render_views(eval_scene, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks)
+            render_views(
+                eval_scene, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks,
+                cfg.backend, cfg.pairs_budget,
+            )
         )
         successes = []
         for j, vi in enumerate(cur):

@@ -60,6 +60,8 @@ class TrainConfig:
     capacity_headroom: float = 1.5
     pairs_per_gaussian: int = 32
     max_chunks: int = 16
+    backend: str = "xla"
+    pairs_budget: int = 0
     spatial_lr_scale: float = 1.0
 
 
@@ -134,6 +136,8 @@ class Trainer:
                 mean2d_offset=mean2d_offset,
                 pairs_per_gaussian=cfg.pairs_per_gaussian,
                 max_chunks=cfg.max_chunks,
+                backend=cfg.backend,
+                pairs_budget=cfg.pairs_budget,
             )
             loss = dssim_l1_loss(out["render"], gt, cfg.lambda_dssim)
             return loss, out["radii"]
