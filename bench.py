@@ -118,7 +118,7 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
 
 
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
-              backend: str = "xla", batch: int = 2):
+              backend: str = "xla", batch: int = 2, pairs_budget: int = 0):
     """End-to-end DAGGER PGD iterations/s: batched multi-view render ->
     detector loss -> grads -> color-l2 step (the BASELINE.md attack-speed
     metric), with the toy conv detector as the frozen scoring head."""
@@ -146,14 +146,12 @@ def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
     )
     originals = scene.params()
 
+    from gsattack.attack.dagger import render_views
+
     def loss_fn(params):
         sc = scene.with_params(params)
-
-        def one(c):
-            return render(sc, c, bg, pairs_per_gaussian=pairs, chunk=chunk,
-                          max_chunks=max_chunks, backend=backend)["render"]
-
-        imgs = jax.vmap(one)(cams)
+        imgs = render_views(sc, cams, bg, pairs, max_chunks, backend,
+                            pairs_budget)
         return det.loss(imgs, 2, bboxes)
 
     @jax.jit
@@ -218,7 +216,7 @@ def main():
     if args.mode == "pgd":
         ips = bench_pgd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, args.views,
+            args.backend, args.views, budget,
         )
         print(
             json.dumps(

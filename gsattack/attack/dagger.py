@@ -86,7 +86,12 @@ def render_views(
     backend: str = "xla",
     pairs_budget: int = 0,
 ) -> jnp.ndarray:
-    """Vmapped multi-view render -> (B, H, W, 3). `cams` is a stacked Camera."""
+    """Batched multi-view render -> (B, H, W, 3). `cams` is a stacked Camera.
+
+    The XLA path vmaps over views; the pallas path maps sequentially
+    (lax.map): batching a pallas custom call through vmap currently trips
+    an XLA fusion crash (fused_root->IsFusible), and the kernel grid is
+    serial per chip anyway."""
 
     def one(cam):
         return render(
@@ -99,6 +104,8 @@ def render_views(
             pairs_budget=pairs_budget,
         )["render"]
 
+    if backend == "pallas":
+        return jax.lax.map(one, cams)
     return jax.vmap(one)(cams)
 
 
