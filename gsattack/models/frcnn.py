@@ -17,7 +17,7 @@ logits. Eval predict: per-class deltas + NMS + score threshold.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax
@@ -319,7 +319,6 @@ class FasterRCNNDetector(Detector):
             from .yolo import pairwise_iou_xyxy
 
             ious = pairwise_iou_xyxy(props, gt).max(axis=1)
-            labels = jnp.where(ious >= 0.5, int(0), self.nc)  # placeholder
             labels = jnp.where(ious >= 0.5, target, self.nc)
             roi = self._roi_features(fpn, props)
             logits, _ = self.box_head.apply(self.head_params, roi)

@@ -14,8 +14,6 @@ w.r.t. the input image. `predict` emits one box per confident cell.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

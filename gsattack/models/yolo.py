@@ -28,9 +28,7 @@ loads a flat .npz exported from ultralytics checkpoints (converter in
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
