@@ -55,7 +55,7 @@ def build_problem(n_points: int, width: int, height: int, sh_degree: int):
     return scene, cam
 
 
-def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0):
+def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -69,6 +69,7 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
         out = render(
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
             max_chunks=max_chunks, backend=backend, pairs_budget=pairs_budget,
+            with_objects=with_objects,
         )
         return jnp.mean((out["render"] - target) ** 2)
 
@@ -89,7 +90,7 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     return mpix
 
 
-def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0):
+def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +104,7 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
         return render(
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
             max_chunks=max_chunks, backend=backend, pairs_budget=pairs_budget,
+            with_objects=with_objects,
         )["render"]
 
     params = scene.params()
@@ -193,6 +195,7 @@ def main():
     ap.add_argument("--pairs-budget", type=int, default=-1, help="-1: auto (4*n_points, pallas only)")
     ap.add_argument("--mode", default="raster", choices=["raster", "pgd"])
     ap.add_argument("--views", type=int, default=2)
+    ap.add_argument("--objects", action="store_true", help="blend the 16 grouping channels too")
     args = ap.parse_args()
 
     import jax
@@ -232,13 +235,13 @@ def main():
     if args.forward_only:
         mpix = bench_forward(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, budget,
+            args.backend, budget, args.objects,
         )
         metric = "fwd_mpix_per_s"
     else:
         mpix = bench_fwd_bwd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, budget,
+            args.backend, budget, args.objects,
         )
         metric = "fwd_bwd_mpix_per_s"
 

@@ -266,7 +266,7 @@ def _blend_tiles_pallas(
     jax.jit,
     static_argnames=(
         "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
-        "backend", "interpret", "pairs_budget",
+        "backend", "interpret", "pairs_budget", "with_objects",
     ),
 )
 def rasterize(
@@ -280,8 +280,13 @@ def rasterize(
     backend: str = "xla",
     interpret: bool = False,
     pairs_budget: int = 0,
+    with_objects: bool = True,
 ) -> dict:
     """Full tile rasterization of projected Gaussians.
+
+    `with_objects=False` skips blending the 16 grouping-feature channels
+    (2/3 of the blend bandwidth) — `render_object` comes back zero-filled;
+    use when the loss only consumes RGB.
 
     `backend`: "xla" (vmapped masked-chunk blend, JAX-AD differentiable) or
     "pallas" (TPU kernels with hand-written VJP, dynamic per-tile work).
@@ -293,7 +298,11 @@ def rasterize(
     bins = bin_gaussians(
         proj.mean2d, proj.depth, proj.radius, width, height, pairs_per_gaussian
     )
-    channels = jnp.concatenate([proj.color, proj.obj], axis=-1)
+    channels = (
+        jnp.concatenate([proj.color, proj.obj], axis=-1)
+        if with_objects
+        else proj.color
+    )
     if backend == "pallas":
         img, T = _blend_tiles_pallas(
             bins, proj, channels, width, height, chunk, max_chunks, interpret,
@@ -314,9 +323,14 @@ def rasterize(
     n_ch = channels.shape[-1]
     bg_full = jnp.concatenate([bg, jnp.zeros(n_ch - bg.shape[0], bg.dtype)])
     img = img + T[..., None] * bg_full[None, None, :]
+    obj_img = (
+        img[..., 3:]
+        if with_objects
+        else jnp.zeros(img.shape[:2] + (proj.obj.shape[-1],), img.dtype)
+    )
     return {
         "render": img[..., :3],
-        "render_object": img[..., 3:],
+        "render_object": obj_img,
         "final_transmittance": T,
         "num_culled_pairs": bins.num_culled_pairs,
     }

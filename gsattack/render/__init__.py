@@ -40,6 +40,7 @@ def render(
     backend: str = "xla",
     interpret: bool = False,
     pairs_budget: int = 0,
+    with_objects: bool = True,
 ) -> dict:
     """Render one camera view. Returns the reference's output schema
     (`render`, `render_object`, `radii`, `visibility_filter`) plus
@@ -58,6 +59,7 @@ def render(
         backend=backend,
         interpret=interpret,
         pairs_budget=pairs_budget,
+        with_objects=with_objects,
     )
     out["radii"] = proj.radius
     out["visibility_filter"] = proj.radius > 0

@@ -152,3 +152,14 @@ def test_override_color(toy_scene, toy_camera):
     # Green/blue only from background (zero): must be ~0
     assert img[..., 1].max() < 1e-5
     assert img[..., 2].max() < 1e-5
+
+
+def test_without_objects_matches_rgb(toy_scene, toy_camera):
+    bg = jnp.array([0.1, 0.2, 0.3])
+    full = render(toy_scene, toy_camera, bg)
+    slim = render(toy_scene, toy_camera, bg, with_objects=False)
+    np.testing.assert_allclose(
+        np.asarray(slim["render"]), np.asarray(full["render"]), atol=1e-6
+    )
+    assert np.asarray(slim["render_object"]).max() == 0.0
+    assert slim["render_object"].shape == full["render_object"].shape
