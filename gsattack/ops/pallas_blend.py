@@ -121,13 +121,17 @@ def _valid_row(base, e):
 
 def _fwd_kernel(
     starts_ref, ends_ref, geom_hbm, col_hbm, out_ref, geom_s, col_s, sem,
-    *, n_ch: int, tiles_x: int, early_exit: bool = True,
+    *, n_ch: int, tiles_x: int, max_chunks: int, early_exit: bool = True,
 ):
     i = pl.program_id(0)
     s = starts_ref[i]
     e = ends_ref[i]
     pxf, pyf = _pixel_coords(i, tiles_x)
-    nchunks = jax.lax.div(e - s + CHUNK - 1, CHUNK)
+    # Cap identically to the backward kernel: fwd/bwd must see the same
+    # pair set or gradients on overloaded tiles would be inconsistent.
+    nchunks = jnp.minimum(
+        jax.lax.div(e - s + CHUNK - 1, CHUNK), max_chunks
+    )
 
     def body(state):
         k, T, done, acc = state
@@ -310,7 +314,8 @@ def _fwd_impl(geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
     num_tiles = tiles_x * tiles_y
     n_ch = col_packed.shape[0]
     kernel = functools.partial(
-        _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x, early_exit=early_exit
+        _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x, max_chunks=max_chunks,
+        early_exit=early_exit,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
