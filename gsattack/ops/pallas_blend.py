@@ -120,7 +120,7 @@ def _valid_row(base, e):
 
 
 def _fwd_kernel(
-    starts_ref, ends_ref, geom_hbm, col_hbm, out_ref, geom_s, col_s, sem,
+    starts_ref, ends_ref, packed_hbm, out_ref, packed_s, sem,
     *, n_ch: int, tiles_x: int, max_chunks: int, early_exit: bool = True,
 ):
     i = pl.program_id(0)
@@ -136,23 +136,20 @@ def _fwd_kernel(
     def body(state):
         k, T, done, acc = state
         base = pl.multiple_of(s + k * CHUNK, CHUNK)
-        cp_g = pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(base, CHUNK)], geom_s, sem
+        cp = pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(base, CHUNK)], packed_s, sem
         )
-        cp_g.start()
-        cp_g.wait()
-        cp_c = pltpu.make_async_copy(
-            col_hbm.at[:, pl.ds(base, CHUNK)], col_s, sem
-        )
-        cp_c.start()
-        cp_c.wait()
+        cp.start()
+        cp.wait()
+        chunk_data = packed_s[:]
         alpha, _, _, _, _, _ = _chunk_alpha(
-            geom_s[:], _valid_row(base, e), pxf, pyf
+            chunk_data[:GEOM_W], _valid_row(base, e), pxf, pyf
         )
+        col = chunk_data[GEOM_W:]
         w, T, done, _, _ = _forward_chunk_blend(alpha, T, done)
         # acc (CH, P) += col (CH, K) . w^T (K, P): contract over lanes K
         acc = acc + jax.lax.dot_general(
-            col_s[:], w,
+            col, w,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_HIGH,
@@ -178,8 +175,8 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    starts_ref, ends_ref, geom_hbm, col_hbm, gout_ref, dgeom_hbm, dcol_hbm,
-    geom_s, col_s, tchk_ref, donechk_ref, dgeom_s, dcol_s, sem, osem,
+    starts_ref, ends_ref, packed_hbm, gout_ref, dpacked_hbm,
+    packed_s, tchk_ref, donechk_ref, dpacked_s, sem, osem,
     *, n_ch: int, tiles_x: int, max_chunks: int,
 ):
     i = pl.program_id(0)
@@ -189,16 +186,11 @@ def _bwd_kernel(
     nchunks = jnp.minimum(jax.lax.div(e - s + CHUNK - 1, CHUNK), max_chunks)
 
     def load_chunk(base):
-        cp_g = pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(base, CHUNK)], geom_s, sem
+        cp = pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(base, CHUNK)], packed_s, sem
         )
-        cp_g.start()
-        cp_g.wait()
-        cp_c = pltpu.make_async_copy(
-            col_hbm.at[:, pl.ds(base, CHUNK)], col_s, sem
-        )
-        cp_c.start()
-        cp_c.wait()
+        cp.start()
+        cp.wait()
 
     # ---- phase 1: forward replay, store chunk-boundary T / done ----------
     def fwd_body(k, state):
@@ -208,7 +200,7 @@ def _bwd_kernel(
         base = pl.multiple_of(s + k * CHUNK, CHUNK)
         load_chunk(base)
         alpha, _, _, _, _, _ = _chunk_alpha(
-            geom_s[:], _valid_row(base, e), pxf, pyf
+            packed_s[:][:GEOM_W], _valid_row(base, e), pxf, pyf
         )
         _, T, done, _, _ = _forward_chunk_blend(alpha, T, done)
         return T, done
@@ -227,16 +219,19 @@ def _bwd_kernel(
         k = nchunks - 1 - kk
         base = pl.multiple_of(s + k * CHUNK, CHUNK)
         load_chunk(base)
+        chunk_data = packed_s[:]
+        geom = chunk_data[:GEOM_W]
+        col = chunk_data[GEOM_W:]
         T_in = tchk_ref[k, :].reshape(P_PIX, 1)
         done_in = donechk_ref[k, :].reshape(P_PIX, 1)
         alpha, alpha_pre, clamped, dx, dy, power = _chunk_alpha(
-            geom_s[:], _valid_row(base, e), pxf, pyf
+            geom, _valid_row(base, e), pxf, pyf
         )
         w, _, _, alpha_eff, t_exc = _forward_chunk_blend(alpha, T_in, done_in)
 
         # cg[p, j] = col[:, j] . gC[:, p]  -> contract channel dim
         cg = jax.lax.dot_general(
-            gC, col_s[:],
+            gC, col,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_HIGH,
@@ -257,9 +252,9 @@ def _bwd_kernel(
         dop_map = dz * jnp.exp(jnp.minimum(power, 0.0))
         dpower = jnp.where(power <= 0.0, dz * alpha_pre, 0.0)  # (P, K)
 
-        A = geom_s[:][2:3, :]
-        B = geom_s[:][3:4, :]
-        Cc = geom_s[:][4:5, :]
+        A = geom[2:3, :]
+        B = geom[3:4, :]
+        Cc = geom[4:5, :]
         # reduce over pixels (sublane axis 0) -> (K,) rows of dgeom
         dmx = jnp.sum(dpower * (A * dx + B * dy), axis=0)
         dmy = jnp.sum(dpower * (Cc * dy + B * dx), axis=0)
@@ -268,31 +263,26 @@ def _bwd_kernel(
         dC = jnp.sum(dpower * (-0.5 * dy * dy), axis=0)
         dop = jnp.sum(dop_map, axis=0)
         zero = jnp.zeros_like(dop)
-        dgeom_s[:] = jnp.stack([dmx, dmy, dA, dB, dC, dop, zero, zero], axis=0)
+        dgeom = jnp.stack([dmx, dmy, dA, dB, dC, dop, zero, zero], axis=0)
         # dcol (CH, K) = gC (CH, P) @ w (P, K)
-        dcol_s[:] = jnp.dot(
+        dcol = jnp.dot(
             gC, w, preferred_element_type=jnp.float32, precision=_HIGH
         )
+        dpacked_s[:] = jnp.concatenate([dgeom, dcol], axis=0)
 
-        cp_g = pltpu.make_async_copy(
-            dgeom_s, dgeom_hbm.at[:, pl.ds(base, CHUNK)], osem
+        cp = pltpu.make_async_copy(
+            dpacked_s, dpacked_hbm.at[:, pl.ds(base, CHUNK)], osem
         )
-        cp_g.start()
-        cp_g.wait()
-        cp_c = pltpu.make_async_copy(
-            dcol_s, dcol_hbm.at[:, pl.ds(base, CHUNK)], osem
-        )
-        cp_c.start()
-        cp_c.wait()
+        cp.start()
+        cp.wait()
         return S + jnp.sum(wcg, axis=1, keepdims=True)
 
     jax.lax.fori_loop(0, nchunks, bwd_body, jnp.zeros((P_PIX, 1), jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def pallas_blend(
-    geom_packed: jnp.ndarray,  # (GEOM_W, P_pad) field-major
-    col_packed: jnp.ndarray,  # (CH, P_pad)
+    packed: jnp.ndarray,  # (GEOM_W + CH_pad, P_pad) field-major pair data
     tile_start: jnp.ndarray,  # (num_tiles,) 128-aligned packed offsets
     tile_end: jnp.ndarray,  # (num_tiles,) start + count (unpadded count)
     tiles_x: int,
@@ -304,15 +294,16 @@ def pallas_blend(
     """Returns packed output (num_tiles, CH+1, P_PIX): blended channels plus
     the final transmittance as the last channel row."""
     return _fwd_impl(
-        geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
+        packed, tile_start, tile_end, tiles_x, tiles_y,
         max_chunks, interpret, early_exit,
     )
 
 
-def _fwd_impl(geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
+def _fwd_impl(packed, tile_start, tile_end, tiles_x, tiles_y,
               max_chunks, interpret, early_exit=True):
     num_tiles = tiles_x * tiles_y
-    n_ch = col_packed.shape[0]
+    rows = packed.shape[0]
+    n_ch = rows - GEOM_W
     kernel = functools.partial(
         _fwd_kernel, n_ch=n_ch, tiles_x=tiles_x, max_chunks=max_chunks,
         early_exit=early_exit,
@@ -320,17 +311,13 @@ def _fwd_impl(geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
             (1, n_ch + 1, P_PIX), lambda i, s, e: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((GEOM_W, CHUNK), jnp.float32),
-            pltpu.VMEM((n_ch, CHUNK), jnp.float32),
+            pltpu.VMEM((rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -339,22 +326,23 @@ def _fwd_impl(geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
         out_shape=jax.ShapeDtypeStruct((num_tiles, n_ch + 1, P_PIX), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_start, tile_end, geom_packed, col_packed)
+    )(tile_start, tile_end, packed)
 
 
-def _blend_fwd(geom_packed, col_packed, tile_start, tile_end, tiles_x,
+def _blend_fwd(packed, tile_start, tile_end, tiles_x,
                tiles_y, max_chunks, interpret, early_exit):
     out = _fwd_impl(
-        geom_packed, col_packed, tile_start, tile_end, tiles_x, tiles_y,
+        packed, tile_start, tile_end, tiles_x, tiles_y,
         max_chunks, interpret, early_exit,
     )
-    return out, (geom_packed, col_packed, tile_start, tile_end)
+    return out, (packed, tile_start, tile_end)
 
 
 def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
-    geom_packed, col_packed, tile_start, tile_end = res
+    packed, tile_start, tile_end = res
     num_tiles = tiles_x * tiles_y
-    n_ch = col_packed.shape[0]
+    rows = packed.shape[0]
+    n_ch = rows - GEOM_W
     kernel = functools.partial(
         _bwd_kernel, n_ch=n_ch, tiles_x=tiles_x, max_chunks=max_chunks
     )
@@ -363,48 +351,38 @@ def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, n_ch + 1, P_PIX), lambda i, s, e: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((GEOM_W, CHUNK), jnp.float32),
-            pltpu.VMEM((n_ch, CHUNK), jnp.float32),
+            pltpu.VMEM((rows, CHUNK), jnp.float32),
             pltpu.VMEM((max_chunks, P_PIX), jnp.float32),
             pltpu.VMEM((max_chunks, P_PIX), jnp.float32),
-            pltpu.VMEM((GEOM_W, CHUNK), jnp.float32),
-            pltpu.VMEM((n_ch, CHUNK), jnp.float32),
+            pltpu.VMEM((rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    dgeom, dcol = pl.pallas_call(
+    dpacked = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(geom_packed.shape, jnp.float32),
-            jax.ShapeDtypeStruct(col_packed.shape, jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_end, geom_packed, col_packed, g_out)
+    )(tile_start, tile_end, packed, g_out)
     # Positions outside every tile's padded range are never written by the
     # kernel: zero them. Each tile k owns [start_k, start_k + padded_count);
     # chunk DMAs cover the padded range exactly, and ranges are disjoint and
     # ascending, so only the region past the last tile's padded end (and any
     # unwritten head) needs masking.
-    p_pad = geom_packed.shape[1]
+    p_pad = packed.shape[1]
     padded_end = tile_start[-1] + (
         (tile_end[-1] - tile_start[-1] + CHUNK - 1) // CHUNK
     ) * CHUNK
     covered = jnp.arange(p_pad) < padded_end
-    dgeom = jnp.where(covered[None, :], dgeom, 0.0)
-    dcol = jnp.where(covered[None, :], dcol, 0.0)
-    return dgeom, dcol, None, None
+    dpacked = jnp.where(covered[None, :], dpacked, 0.0)
+    return dpacked, None, None
 
 
 pallas_blend.defvjp(_blend_fwd, _blend_bwd)
@@ -431,8 +409,8 @@ def pack_pairs(
     scatter along the lane axis was ~40x slower on TPU. Differentiable:
     the gather's transpose scatter-adds per-pair grads onto the gaussians.
 
-    Returns (geom_packed (GEOM_W, P_pad), col_packed (CH_pad, P_pad),
-    packed_start, packed_end)."""
+    Returns (packed (GEOM_W + CH_pad, P_pad), packed_start, packed_end,
+    ch_pad)."""
     n = geom_all.shape[0]
     p = gauss_idx.shape[0]
     num_tiles = tile_start.shape[0]
@@ -470,8 +448,11 @@ def pack_pairs(
     gidx_pad = jnp.concatenate([gauss_idx, jnp.full((1,), n, jnp.int32)])
     src_gauss = gidx_pad[p_of_q]  # (P_pad,)
 
-    zero_row = jnp.zeros((1, GEOM_W), geom_all.dtype)
-    geom_packed = jnp.concatenate([geom_all, zero_row])[src_gauss].T
-    zero_col = jnp.zeros((1, ch_pad), channels.dtype)
-    col_packed = jnp.concatenate([channels, zero_col])[src_gauss].T
-    return geom_packed, col_packed, packed_start, packed_end
+    # ONE gather of unified (GEOM_W + CH_pad)-wide rows + ONE transpose:
+    # separate geometry/color gathers cost a full extra gather pass (row
+    # gathers are latency-bound per row, not width-bound) and an extra DMA
+    # per chunk inside the kernels.
+    unified = jnp.concatenate([geom_all, channels], axis=1)
+    zero_row = jnp.zeros((1, unified.shape[1]), unified.dtype)
+    packed = jnp.concatenate([unified, zero_row])[src_gauss].T
+    return packed, packed_start, packed_end, ch_pad

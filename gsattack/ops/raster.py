@@ -244,15 +244,13 @@ def _blend_tiles_pallas(
         ],
         axis=-1,
     )
-    geom_packed, col_packed, p_start, p_end = pack_pairs(
+    pair_packed, p_start, p_end, ch_pad = pack_pairs(
         geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end,
         budget=pairs_budget,
     )
     packed = pallas_blend(
-        geom_packed, col_packed, p_start, p_end, tiles_x, tiles_y,
-        max_chunks, interpret,
+        pair_packed, p_start, p_end, tiles_x, tiles_y, max_chunks, interpret,
     )  # (num_tiles, CH_pad+1, P_PIX); T is the last row
-    ch_pad = col_packed.shape[0]
     img_t = jnp.swapaxes(packed[:, :n_ch, :], 1, 2)  # (tiles, P, CH)
     T_t = packed[:, ch_pad, :]
     img = img_t.reshape(tiles_y, tiles_x, TILE, TILE, n_ch)

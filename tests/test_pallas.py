@@ -72,3 +72,31 @@ def test_pallas_empty_scene_is_background():
         np.broadcast_to(np.asarray(bg), (32, 32, 3)),
         atol=1e-6,
     )
+
+
+def test_pallas_budget_paths():
+    """A generous budget must not change the image; fwd+bwd must agree on
+    the truncated pair set when max_chunks clips a hot tile."""
+    sc = make_toy_scene(n=96, seed=11)
+    cam = make_toy_camera(width=32, height=32)
+    bg = jnp.zeros(3)
+    ref = render(sc, cam, bg, backend="pallas", interpret=True, **KW)
+    got = render(
+        sc, cam, bg, backend="pallas", interpret=True, pairs_budget=96 * 8, **KW
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["render"]), np.asarray(ref["render"]), atol=1e-5
+    )
+
+    # Severe max_chunks clipping: gradients stay finite and the fwd/bwd
+    # pair sets agree (no NaNs from inconsistent truncation).
+    def loss(params):
+        out = render(
+            sc.with_params(params), cam, bg, backend="pallas", interpret=True,
+            pairs_per_gaussian=32, max_chunks=1,
+        )
+        return jnp.mean(out["render"] ** 2)
+
+    g = jax.grad(loss)(sc.params())
+    for k, v in g.items():
+        assert np.isfinite(np.asarray(v)).all(), k
