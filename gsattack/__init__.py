@@ -20,3 +20,30 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience re-exports (kept lazy so `import gsattack` stays
+    cheap and platform-neutral)."""
+    lazy = {
+        "GaussianScene": ("gsattack.core", "GaussianScene"),
+        "Camera": ("gsattack.core", "Camera"),
+        "scene_from_points": ("gsattack.core", "scene_from_points"),
+        "make_camera": ("gsattack.core", "make_camera"),
+        "render": ("gsattack.render", "render"),
+        "render_oracle": ("gsattack.render", "render_oracle"),
+        "load_detector": ("gsattack.models", "load_detector"),
+        "run_dagger": ("gsattack.attack", "run_dagger"),
+        "AttackConfig": ("gsattack.attack", "AttackConfig"),
+        "Trainer": ("gsattack.train", "Trainer"),
+        "TrainConfig": ("gsattack.train", "TrainConfig"),
+        "load_scene_ply": ("gsattack.io", "load_scene_ply"),
+        "save_scene_ply": ("gsattack.io", "save_scene_ply"),
+        "load_scene_info": ("gsattack.io", "load_scene_info"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'gsattack' has no attribute {name!r}")
