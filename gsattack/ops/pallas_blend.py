@@ -133,15 +133,30 @@ def _fwd_kernel(
         jax.lax.div(e - s + CHUNK - 1, CHUNK), max_chunks
     )
 
+    # Double-buffered chunk loads: start chunk k+1's DMA before computing
+    # chunk k, so HBM latency hides behind the blend math. Prefetching past
+    # the tile's padded range is safe-by-construction within nchunks.
+    def dma(k, slot):
+        base = pl.multiple_of(s + k * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(base, CHUNK)], packed_s.at[slot], sem.at[slot]
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
     def body(state):
         k, T, done, acc = state
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        dma(k, slot).wait()
         base = pl.multiple_of(s + k * CHUNK, CHUNK)
-        cp = pltpu.make_async_copy(
-            packed_hbm.at[:, pl.ds(base, CHUNK)], packed_s, sem
-        )
-        cp.start()
-        cp.wait()
-        chunk_data = packed_s[:]
+        chunk_data = packed_s[slot]
         alpha, _, _, _, _, _ = _chunk_alpha(
             chunk_data[:GEOM_W], _valid_row(base, e), pxf, pyf
         )
@@ -156,21 +171,18 @@ def _fwd_kernel(
         )
         return k + 1, T, done, acc
 
-    def cond(state):
-        k, T, done, _ = state
-        return (k < nchunks) & (jnp.min(done) < 0.5)
-
     T0 = jnp.ones((P_PIX, 1), jnp.float32)
     done0 = jnp.zeros((P_PIX, 1), jnp.float32)
     acc0 = jnp.zeros((n_ch, P_PIX), jnp.float32)
-    if early_exit:
-        _, T, _, acc = jax.lax.while_loop(cond, body, (0, T0, done0, acc0))
-    else:
+    # NOTE: early exit on all-done would leave the k+1 prefetch DMA in
+    # flight with no wait (undefined); with double buffering we always run
+    # all nchunks (the early-exit win was minor vs hidden DMA latency).
+    del early_exit
 
-        def fbody(k, st):
-            return body((k, st[0], st[1], st[2]))[1:]
+    def fbody(k, st):
+        return body((k, st[0], st[1], st[2]))[1:]
 
-        T, _, acc = jax.lax.fori_loop(0, nchunks, fbody, (T0, done0, acc0))
+    T, _, acc = jax.lax.fori_loop(0, nchunks, fbody, (T0, done0, acc0))
     out_ref[0] = jnp.concatenate([acc, T.T], axis=0)  # (CH+1, P)
 
 
@@ -185,22 +197,32 @@ def _bwd_kernel(
     pxf, pyf = _pixel_coords(i, tiles_x)
     nchunks = jnp.minimum(jax.lax.div(e - s + CHUNK - 1, CHUNK), max_chunks)
 
-    def load_chunk(base):
-        cp = pltpu.make_async_copy(
-            packed_hbm.at[:, pl.ds(base, CHUNK)], packed_s, sem
+    def dma_in(k, slot):
+        base = pl.multiple_of(s + k * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(base, CHUNK)], packed_s.at[slot],
+            sem.at[slot],
         )
-        cp.start()
-        cp.wait()
 
     # ---- phase 1: forward replay, store chunk-boundary T / done ----------
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
     def fwd_body(k, state):
         T, done = state
         tchk_ref[k, :] = T[:, 0]
         donechk_ref[k, :] = done[:, 0]
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            dma_in(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        dma_in(k, slot).wait()
         base = pl.multiple_of(s + k * CHUNK, CHUNK)
-        load_chunk(base)
         alpha, _, _, _, _, _ = _chunk_alpha(
-            packed_s[:][:GEOM_W], _valid_row(base, e), pxf, pyf
+            packed_s[slot][:GEOM_W], _valid_row(base, e), pxf, pyf
         )
         _, T, done, _, _ = _forward_chunk_blend(alpha, T, done)
         return T, done
@@ -214,12 +236,23 @@ def _bwd_kernel(
     gT = gout_ref[0][n_ch, :].reshape(P_PIX, 1)  # (P, 1)
     gT_term = T_final * gT  # (P, 1)
 
+    # phase 2 walks chunks descending: prefetch k-1 while computing k.
+    @pl.when(nchunks > 0)
+    def _():
+        dma_in(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).start()
+
     def bwd_body(kk, S):
         # S: (P, 1) suffix sum over later chunks of w * cg
         k = nchunks - 1 - kk
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k - 1 >= 0)
+        def _():
+            dma_in(k - 1, jax.lax.rem(k - 1, 2)).start()
+
+        dma_in(k, slot).wait()
         base = pl.multiple_of(s + k * CHUNK, CHUNK)
-        load_chunk(base)
-        chunk_data = packed_s[:]
+        chunk_data = packed_s[slot]
         geom = chunk_data[:GEOM_W]
         col = chunk_data[GEOM_W:]
         T_in = tchk_ref[k, :].reshape(P_PIX, 1)
@@ -317,8 +350,8 @@ def _fwd_impl(packed, tile_start, tile_end, tiles_x, tiles_y,
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -356,11 +389,11 @@ def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((rows, CHUNK), jnp.float32),
+            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
             pltpu.VMEM((max_chunks, P_PIX), jnp.float32),
             pltpu.VMEM((max_chunks, P_PIX), jnp.float32),
             pltpu.VMEM((rows, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
