@@ -77,8 +77,12 @@ def test_sharded_grads_match_single_device():
     with mesh:
         g = jax.jit(jax.grad(loss))(params_sharded)
     for k in g_ref:
+        ref = np.asarray(g_ref[k])
+        # sharded collectives reorder f32 reductions: tolerance scales with
+        # the gradient magnitude
+        scale = max(np.abs(ref).max(), 1.0)
         np.testing.assert_allclose(
-            np.asarray(g[k]), np.asarray(g_ref[k]), atol=1e-5, err_msg=k
+            np.asarray(g[k]), ref, atol=2e-6 * scale, err_msg=k
         )
 
 
