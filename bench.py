@@ -120,7 +120,8 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
 
 
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
-              backend: str = "xla", batch: int = 2, pairs_budget: int = 0):
+              backend: str = "xla", batch: int = 2, pairs_budget: int = 0,
+              use_mesh: bool = False):
     """End-to-end DAGGER PGD iterations/s: batched multi-view render ->
     detector loss -> grads -> color-l2 step (the BASELINE.md attack-speed
     metric), with the toy conv detector as the frozen scoring head."""
@@ -147,6 +148,35 @@ def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
                     cam.height * 0.75]], jnp.float32), (batch, 1),
     )
     originals = scene.params()
+
+    if use_mesh:
+        # Scaling machinery (BASELINE.md: >=80% efficiency to multi-chip):
+        # views-DP over the camera batch + splats sharding of the scene.
+        # Requires backend=xla (vmap path; pallas custom calls cannot be
+        # vmapped yet) and batch % views_axis == 0.
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gsattack.parallel import make_mesh
+        from gsattack.parallel.mesh import SPLATS_AXIS, VIEWS_AXIS
+        import math as _math
+
+        n_dev = len(_jax.devices())
+        views_axis = _math.gcd(batch, n_dev)
+        mesh = make_mesh((views_axis, n_dev // views_axis))
+        log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+        splat_sh = NamedSharding(mesh, P(SPLATS_AXIS))
+        scene = _jax.tree_util.tree_map(
+            lambda x: _jax.device_put(x, splat_sh)
+            if hasattr(x, "ndim") and x.ndim >= 1 else x,
+            scene,
+        )
+        originals = _jax.tree_util.tree_map(
+            lambda x: _jax.device_put(x, splat_sh), originals
+        )
+        cams = _jax.tree_util.tree_map(
+            lambda x: _jax.device_put(x, NamedSharding(mesh, P(VIEWS_AXIS))), cams
+        )
 
     from gsattack.attack.dagger import render_views
 
@@ -196,6 +226,7 @@ def main():
     ap.add_argument("--mode", default="raster", choices=["raster", "pgd"])
     ap.add_argument("--views", type=int, default=2)
     ap.add_argument("--objects", action="store_true", help="blend the 16 grouping channels too")
+    ap.add_argument("--mesh", action="store_true", help="shard PGD over a (views, splats) mesh (multi-device)")
     args = ap.parse_args()
 
     import jax
@@ -219,7 +250,7 @@ def main():
     if args.mode == "pgd":
         ips = bench_pgd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, args.views, budget,
+            args.backend, args.views, budget, args.mesh,
         )
         print(
             json.dumps(
