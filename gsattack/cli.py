@@ -360,11 +360,120 @@ def cmd_grouping_render(argv):
     return 0
 
 
+def cmd_recolor(argv):
+    """Splat recolor tool (`scratch/edit_gs_color.py` CLI)."""
+    from .core.edit import (
+        recolor_grayscale,
+        recolor_random,
+        recolor_sepia,
+        recolor_single,
+    )
+    from .io import load_scene_ply, save_scene_ply
+
+    ap = argparse.ArgumentParser(prog="gsattack recolor")
+    ap.add_argument("--ply", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument(
+        "--mode", required=True,
+        choices=["single", "random", "grayscale", "sepia"],
+    )
+    ap.add_argument("--color", type=float, nargs=3, default=[1.0, 0.0, 0.0])
+    args = ap.parse_args(argv)
+    scene = load_scene_ply(args.ply)
+    if args.mode == "single":
+        scene = recolor_single(scene, args.color)
+    elif args.mode == "random":
+        scene = recolor_random(scene)
+    elif args.mode == "grayscale":
+        scene = recolor_grayscale(scene)
+    else:
+        scene = recolor_sepia(scene)
+    save_scene_ply(scene, args.out)
+    print(f"recolored ({args.mode}) -> {args.out}")
+    return 0
+
+
+def cmd_combine(argv):
+    """Combine splat PLYs and render all cameras
+    (`scratch/demo_combine_splats.py`)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .core.edit import combine_scene_plys
+    from .io import load_scene_info, save_scene_ply
+    from .render import render
+
+    ap = argparse.ArgumentParser(prog="gsattack combine")
+    ap.add_argument("--plys", nargs="+", required=True)
+    ap.add_argument("--scene-dir", default=None, help="camera source dir")
+    ap.add_argument("--out-dir", default="renders/combined_splats")
+    ap.add_argument("--out-ply", default=None)
+    ap.add_argument("--sh-degree", type=int, default=3)
+    args = ap.parse_args(argv)
+    combined, masks = combine_scene_plys(args.plys, max_sh_degree=args.sh_degree)
+    print(f"combined {len(args.plys)} plys -> {combined.num_points} splats")
+    if args.out_ply:
+        save_scene_ply(combined, args.out_ply)
+        print(f"wrote {args.out_ply}")
+    if args.scene_dir:
+        from PIL import Image
+
+        info = load_scene_info(args.scene_dir, shuffle=False)
+        os.makedirs(args.out_dir, exist_ok=True)
+        for i, ext in enumerate(info.train_cameras):
+            img = render(combined, ext.build(), jnp.zeros(3))["render"]
+            Image.fromarray(
+                (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+            ).save(os.path.join(args.out_dir, f"render_{i:04d}.png"))
+        print(f"rendered {len(info.train_cameras)} views -> {args.out_dir}")
+    return 0
+
+
+def cmd_predict_batch(argv):
+    """Batch detector prediction over an image directory
+    (`utils/predict_objdet_batch.py`)."""
+    import numpy as np
+
+    from .models import load_detector
+
+    ap = argparse.ArgumentParser(prog="gsattack predict-batch")
+    ap.add_argument("--images-dir", required=True)
+    ap.add_argument("--detector", default="toy")
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--out-dir", default="preds")
+    args = ap.parse_args(argv)
+    det = load_detector(args.detector)
+    det.load_model()
+    from PIL import Image
+
+    n = 0
+    for name in sorted(os.listdir(args.images_dir)):
+        if not name.lower().endswith((".png", ".jpg", ".jpeg")):
+            continue
+        img = (
+            np.asarray(
+                Image.open(os.path.join(args.images_dir, name)).convert("RGB")
+            ).astype(np.float32)
+            / 255.0
+        )
+        det.predict_and_save(
+            image=img,
+            path=os.path.join(args.out_dir, name),
+            threshold=args.threshold,
+        )
+        n += 1
+    print(f"predicted {n} images -> {args.out_dir}")
+    return 0
+
+
 COMMANDS = {
     "attack": cmd_attack,
     "render-eval": cmd_render_eval,
     "train": cmd_train,
     "grouping-render": cmd_grouping_render,
+    "recolor": cmd_recolor,
+    "combine": cmd_combine,
+    "predict-batch": cmd_predict_batch,
     "asr": cmd_asr,
     "coco-ap": cmd_coco_ap,
 }
