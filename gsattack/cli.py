@@ -151,6 +151,8 @@ def cmd_attack(argv):
         preds_dir="preds" if cfg.write_images else None,
         pairs_per_gaussian=cfg.get("pairs_per_gaussian", 32),
         max_chunks=cfg.get("max_chunks", 16),
+        backend=cfg.get("backend", "xla"),
+        pairs_budget=cfg.get("pairs_budget", 0),
     )
     res = run_dagger(scene, views, detector, acfg, frozen_scene=frozen, attack_mask=mask)
     print(
