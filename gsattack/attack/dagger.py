@@ -65,6 +65,11 @@ class AttackConfig:
     backend: str = "xla"  # "pallas" on TPU for the fast blend kernels
     pairs_budget: int = 0
     save_ply: bool = True
+    # Checkpoint/resume (capability the reference lacks, SURVEY §5): save
+    # attack state every N iterations; resume picks up pending views + params.
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 25
+    resume: bool = False
 
 
 @dataclasses.dataclass
@@ -234,9 +239,39 @@ def run_dagger(
     losses: list[float] = []
     per_view_success: list[bool] = []
     it = 0
+    start_it = 0
     all_done = False
 
-    for it in range(cfg.max_iters * num_batches):
+    ckpt_path = (
+        os.path.join(cfg.checkpoint_dir, "attack_state.npz")
+        if cfg.checkpoint_dir
+        else None
+    )
+    if cfg.resume and ckpt_path and os.path.exists(ckpt_path):
+        with np.load(ckpt_path, allow_pickle=False) as z:
+            params = {k[2:]: jnp.asarray(z[k]) for k in z.files if k.startswith("p_")}
+            pending = [int(v) for v in z["pending"]]
+            pending_boxes = list(z["pending_boxes"])
+            start_it = int(z["iteration"]) + 1
+            losses = [float(v) for v in z["losses"]]
+        log(f"[resume] iteration {start_it}, {len(pending)} views pending")
+
+    def save_ckpt(iteration):
+        if not ckpt_path:
+            return
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        np.savez(
+            ckpt_path,
+            **{f"p_{k}": np.asarray(v) for k, v in params.items()},
+            pending=np.asarray(pending, np.int64),
+            pending_boxes=np.asarray(
+                pending_boxes if pending_boxes else np.zeros((0, 4))
+            ),
+            iteration=iteration,
+            losses=np.asarray(losses, np.float64),
+        )
+
+    for it in range(start_it, cfg.max_iters * num_batches):
         if cfg.batch_mode and not pending:
             break
         if cfg.batch_mode and (it + 1) % cfg.max_iters == 0:
@@ -256,6 +291,9 @@ def run_dagger(
         losses.append(float(loss))
         log(f"Iteration: {it}, Loss: {float(loss)}")
         params = step_fn(params, grads)
+
+        if ckpt_path and it > 0 and it % cfg.checkpoint_every == 0:
+            save_ckpt(it)
 
         if (it % cfg.eval_every) != 0:
             continue

@@ -348,3 +348,42 @@ def test_expand_viewpoints_yaw():
     out = expand_viewpoints(views, add_cams=3)
     assert len(out) == 3
     assert not np.allclose(out[1].R, out[0].R)
+
+
+def test_dagger_checkpoint_resume(tmp_path):
+    """Attack resilience (a capability the reference lacks): interrupt after
+    a few iterations, resume from the checkpoint, and end at the same state
+    as an uninterrupted run."""
+    scene = make_toy_scene(n=32, seed=3)
+    det = ToyDetector(num_classes=8)
+    common = dict(
+        epsilon=5.0, alpha=0.5, batch_mode=True, batch_size=2, target=2,
+        eval_every=100, attack_conf_thresh=0.99, output_dir=str(tmp_path),
+        checkpoint_every=2,
+    )
+    views = _toy_views(2)
+
+    # Uninterrupted run for 6 iterations.
+    full = run_dagger(
+        scene, views, det, AttackConfig(max_iters=6, **common),
+        log=lambda *_: None,
+    )
+
+    # Interrupted run: 3 iterations (checkpoint lands at it=2), then resume.
+    ck = str(tmp_path / "ck")
+    run_dagger(
+        scene, views, det,
+        AttackConfig(max_iters=3, checkpoint_dir=ck, **common),
+        log=lambda *_: None,
+    )
+    resumed = run_dagger(
+        scene, views, det,
+        AttackConfig(max_iters=6, checkpoint_dir=ck, resume=True, **common),
+        log=lambda *_: None,
+    )
+    # Resume restores the saved loss history and continues from it=3: the
+    # complete histories must match.
+    np.testing.assert_allclose(resumed.losses, full.losses, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(resumed.scene.f_dc), np.asarray(full.scene.f_dc), atol=1e-6
+    )
