@@ -235,14 +235,20 @@ class Trainer:
         iterations: Optional[int] = None,
         key: Optional[jax.Array] = None,
         log: Callable[[int, float], None] = lambda i, l: None,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: int = 1000,
     ) -> GaussianScene:
         """Full training loop: random view per iteration (the standard 3DGS
-        camera sampling), densify/prune/opacity-reset schedules."""
+        camera sampling), densify/prune/opacity-reset schedules. With
+        `checkpoint_dir`, orbax snapshots of the full TrainState land every
+        `checkpoint_every` iterations (resume via
+        io.checkpoint.restore_checkpoint into `trainer.state`)."""
         iterations = iterations or self.cfg.iterations
         key = key if key is not None else jax.random.PRNGKey(0)
         n = len(cameras)
         gts = [jnp.asarray(g) for g in gt_images]
-        for it in range(1, iterations + 1):
+        start = int(self.state.step)
+        for it in range(start + 1, iterations + 1):
             key, k1, k2 = jax.random.split(key, 3)
             vi = int(jax.random.randint(k1, (), 0, n))
             loss = self.train_step(cameras[vi], gts[vi])
@@ -250,4 +256,8 @@ class Trainer:
             self.maybe_increase_sh(it)
             self.maybe_densify(it, k2)
             self.maybe_reset_opacity(it)
+            if checkpoint_dir and it % checkpoint_every == 0:
+                from ..io.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_dir, self.state, step=it)
         return self.state.scene

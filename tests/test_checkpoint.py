@@ -62,3 +62,28 @@ def test_capture_restore():
         np.asarray(t.state.scene.f_dc), np.asarray(snap["scene"].f_dc)
     )
     assert int(t.state.step) == 1
+
+
+def test_trainer_fit_checkpoints_and_resumes(tmp_path):
+    from gsattack.io.checkpoint import latest_step_dir, restore_checkpoint
+    from gsattack.render import render
+
+    target = make_toy_scene(n=24, seed=20)
+    cams = [make_toy_camera(width=24, height=24)]
+    import jax.numpy as jnp
+    import numpy as np
+
+    gts = [np.asarray(render(target, cams[0], jnp.zeros(3))["render"])]
+    cfg = TrainConfig(densify_from_iter=10_000, sh_increase_interval=10_000,
+                      opacity_reset_interval=10_000)
+    t = Trainer(make_toy_scene(n=24, seed=21), cfg)
+    t.fit(cams, gts, iterations=6, checkpoint_dir=str(tmp_path / "ck"),
+          checkpoint_every=3)
+    latest = latest_step_dir(str(tmp_path / "ck"))
+    assert latest.endswith("step_6")
+    # resume: fresh trainer restores state and continues from step 6
+    t2 = Trainer(make_toy_scene(n=24, seed=21), cfg)
+    t2.state = restore_checkpoint(latest, t2.state)
+    assert int(t2.state.step) == 6
+    t2.fit(cams, gts, iterations=8)
+    assert int(t2.state.step) == 8
