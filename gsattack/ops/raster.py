@@ -288,6 +288,10 @@ def rasterize(
 
     `backend`: "xla" (vmapped masked-chunk blend, JAX-AD differentiable) or
     "pallas" (TPU kernels with hand-written VJP, dynamic per-tile work).
+    `chunk` sizes the XLA path's blend chunks only; the pallas kernels use
+    the fixed DMA-alignment quantum (pallas_blend.CHUNK = 128).
+    `pairs_budget` (pallas only) statically caps the packed pair list —
+    ~4x the point count is a safe default for trained scenes.
 
     Returns dict with `render` (H, W, 3), `render_object` (H, W, C_obj),
     `final_transmittance` (H, W) and `num_culled_pairs` (static-capacity
