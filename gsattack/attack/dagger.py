@@ -188,10 +188,26 @@ def run_dagger(
     )
     black = jnp.zeros(3, jnp.float32)
 
+    # Auto-size the pallas pairs budget from the real binned pair count
+    # (pairs_budget=-1): too-small budgets silently drop tile tails, so
+    # measure instead of guessing.
+    if cfg.pairs_budget < 0:
+        from ..ops.project import project
+        from ..ops.raster import auto_pairs_budget
+
+        budget = max(
+            auto_pairs_budget(
+                project(scene, c), c.width, c.height, cfg.pairs_per_gaussian
+            )
+            for c in built
+        )
+        cfg = dataclasses.replace(cfg, pairs_budget=budget)
+        log(f"[Info] Auto-sized pairs_budget = {budget}")
+
     # ---- benign pass: silhouette GT boxes on black bg (attack.py:433-461)
     @jax.jit
     def benign_bbox(cam):
-        img = render(
+        out = render(
             scene,
             cam,
             black,
@@ -199,10 +215,18 @@ def run_dagger(
             max_chunks=cfg.max_chunks,
             backend=cfg.backend,
             pairs_budget=cfg.pairs_budget,
-        )["render"]
-        return silhouette_bbox(img)
+        )
+        return silhouette_bbox(out["render"]), out["num_truncated_pairs"]
 
-    gt_bboxes = np.stack([np.asarray(benign_bbox(c)) for c in built])
+    bb = [benign_bbox(c) for c in built]
+    gt_bboxes = np.stack([np.asarray(b) for b, _ in bb])
+    n_trunc = sum(int(t) for _, t in bb)
+    if n_trunc:
+        log(
+            f"[Warning] {n_trunc} valid pairs truncated by "
+            "pairs_budget/max_chunks across the benign renders — images are "
+            "missing contributions; raise pairs_budget or max_chunks."
+        )
 
     # ---- the jitted attack step: batched render -> detector loss -> grads
     target_idx = cfg.target if cfg.target is not None else 0
@@ -292,48 +316,51 @@ def run_dagger(
         log(f"Iteration: {it}, Loss: {float(loss)}")
         params = step_fn(params, grads)
 
+        if (it % cfg.eval_every) == 0:
+            # ---- success evaluation on the overlay scene (attack.py:513-600)
+            adv = scene.with_params(params)
+            eval_scene = (
+                adv.concat(frozen_scene) if frozen_scene is not None else adv
+            )
+            eval_imgs = np.asarray(
+                render_views(
+                    eval_scene, cams, bg, cfg.pairs_per_gaussian,
+                    cfg.max_chunks, cfg.backend, cfg.pairs_budget,
+                )
+            )
+            successes = []
+            for j, vi in enumerate(cur):
+                path = (
+                    os.path.join(cfg.preds_dir, f"render_it{it}_c{j}.png")
+                    if cfg.preds_dir
+                    else None
+                )
+                ok = detector.predict_and_save(
+                    image=eval_imgs[j],
+                    path=path,
+                    target=cfg.target,
+                    untarget=cfg.untarget,
+                    is_targeted=cfg.is_targeted,
+                    threshold=cfg.attack_conf_thresh,
+                    gt_bbox=cur_boxes[j],
+                )
+                successes.append(bool(ok))
+            n_ok = sum(successes)
+            log(f"Successes: {n_ok}/{len(cur)}")
+            if n_ok >= len(cur) - (1 if cfg.batch_mode and len(cur) > 1 else 0):
+                per_view_success.extend(successes)
+                pending = pending[len(cur) :]
+                pending_boxes = pending_boxes[len(cur) :]
+                if not pending:
+                    all_done = True
+                    log("All camera viewpoints attacked successfully")
+                    break
+
+        # Checkpoint AFTER the success eval pruned `pending`: saving before
+        # it would make a resume replay views already recorded successful at
+        # this iteration, diverging from an uninterrupted run.
         if ckpt_path and it > 0 and it % cfg.checkpoint_every == 0:
             save_ckpt(it)
-
-        if (it % cfg.eval_every) != 0:
-            continue
-
-        # ---- success evaluation on the overlay scene (attack.py:513-600)
-        adv = scene.with_params(params)
-        eval_scene = adv.concat(frozen_scene) if frozen_scene is not None else adv
-        eval_imgs = np.asarray(
-            render_views(
-                eval_scene, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks,
-                cfg.backend, cfg.pairs_budget,
-            )
-        )
-        successes = []
-        for j, vi in enumerate(cur):
-            path = (
-                os.path.join(cfg.preds_dir, f"render_it{it}_c{j}.png")
-                if cfg.preds_dir
-                else None
-            )
-            ok = detector.predict_and_save(
-                image=eval_imgs[j],
-                path=path,
-                target=cfg.target,
-                untarget=cfg.untarget,
-                is_targeted=cfg.is_targeted,
-                threshold=cfg.attack_conf_thresh,
-                gt_bbox=cur_boxes[j],
-            )
-            successes.append(bool(ok))
-        n_ok = sum(successes)
-        log(f"Successes: {n_ok}/{len(cur)}")
-        if n_ok >= len(cur) - (1 if cfg.batch_mode and len(cur) > 1 else 0):
-            per_view_success.extend(successes)
-            pending = pending[len(cur) :]
-            pending_boxes = pending_boxes[len(cur) :]
-            if not pending:
-                all_done = True
-                log("All camera viewpoints attacked successfully")
-                break
 
     final = scene.with_params(params)
     ply_path = None

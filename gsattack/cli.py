@@ -99,6 +99,16 @@ def _setup_scene_and_views(cfg):
                 scene, w, b, list(cfg.selected_obj_ids), threshold=0.5
             )
             mask = jnp.asarray(mask)
+            if not cfg.get("grouped_full_scene", False):
+                # Reference semantics (`attack.py:302-323`): removal_setup
+                # both ways — the PGD loop and the benign silhouette pass
+                # see ONLY the selected object; the background is the
+                # frozen eval overlay (gaussians_original). The
+                # full-scene+mask variant stays as an opt-in deviation
+                # (grouped_full_scene=true).
+                attacked = scene.keep_only(mask).compact()
+                frozen = scene.keep_only(~mask).compact()
+                return attacked, frozen, views, None
         return scene, None, views, mask
 
 
@@ -285,7 +295,28 @@ def cmd_train(argv):
         densify_grad_threshold=cfg.densify_grad_threshold,
         white_background=cfg.white_background,
         spatial_lr_scale=info.nerf_normalization["radius"],
+        use_reg3d=bool(cfg.get("use_reg3d", False)),
+        reg3d_interval=cfg.reg3d_interval,
+        reg3d_k=cfg.reg3d_k,
+        reg3d_lambda_val=cfg.reg3d_lambda_val,
+        reg3d_max_points=cfg.reg3d_max_points,
+        reg3d_sample_size=cfg.reg3d_sample_size,
     )
+    classifier = None
+    if tcfg.use_reg3d:
+        clf_path = os.path.join(cfg.scene.model_path, "classifier.npz")
+        if os.path.exists(clf_path):
+            d = np.load(clf_path)
+            classifier = (d["weight"], d["bias"])
+        else:
+            rng = np.random.default_rng(0)
+            classifier = (
+                rng.normal(scale=0.1, size=(cfg.num_classes, 16)).astype(
+                    np.float32
+                ),
+                np.zeros(cfg.num_classes, np.float32),
+            )
+            logging.warning("use_reg3d with no classifier.npz; random head")
     cams = [c.build() for c in info.train_cameras]
     gts = [c.image for c in info.train_cameras]
     iters = args.iterations or cfg.iterations
@@ -306,7 +337,8 @@ def cmd_train(argv):
         )
     else:
         trainer = Trainer(
-            scene, tcfg, cameras_extent=info.nerf_normalization["radius"]
+            scene, tcfg, cameras_extent=info.nerf_normalization["radius"],
+            classifier=classifier,
         )
         final = trainer.fit(
             cams, gts, iterations=iters,

@@ -404,18 +404,33 @@ def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_end, packed, g_out)
-    # Positions outside every tile's padded range are never written by the
-    # kernel: zero them. Each tile k owns [start_k, start_k + padded_count);
-    # chunk DMAs cover the padded range exactly, and ranges are disjoint and
-    # ascending, so only the region past the last tile's padded end (and any
-    # unwritten head) needs masking.
-    p_pad = packed.shape[1]
-    padded_end = tile_start[-1] + (
-        (tile_end[-1] - tile_start[-1] + CHUNK - 1) // CHUNK
-    ) * CHUNK
-    covered = jnp.arange(p_pad) < padded_end
+    # Zero every position the kernel did not write. Per tile the kernel
+    # writes exactly min(ceil(count/CHUNK), max_chunks) chunks starting at
+    # tile_start; a tile whose pair count exceeds max_chunks*CHUNK leaves
+    # its truncated-chunk region as uninitialized HBM, and everything past
+    # the last tile's padded end is untouched too. Both would scatter-add
+    # garbage into the gaussian grads via the pack_pairs gather transpose.
+    covered = written_coverage_mask(
+        tile_start, tile_end, packed.shape[1], max_chunks
+    )
     dpacked = jnp.where(covered[None, :], dpacked, 0.0)
     return dpacked, None, None
+
+
+def written_coverage_mask(tile_start, tile_end, p_pad, max_chunks):
+    """(p_pad,) bool: slots the bwd kernel actually writes — per tile,
+    the first min(ceil(count/CHUNK), max_chunks) chunks from tile_start.
+    Uses the marks+cumsum tile-of-slot trick (searchsorted is serial on
+    TPU)."""
+    num_tiles = tile_start.shape[0]
+    counts = tile_end - tile_start
+    written = jnp.minimum((counts + CHUNK - 1) // CHUNK, max_chunks) * CHUNK
+    marks = jnp.zeros(p_pad + 1, jnp.int32).at[tile_start].add(1)
+    t_of_q = jnp.clip(
+        jnp.cumsum(marks[:p_pad]) - 1, 0, num_tiles - 1
+    ).astype(jnp.int32)
+    q = jnp.arange(p_pad, dtype=jnp.int32)
+    return (q - tile_start[t_of_q]) < written[t_of_q]
 
 
 pallas_blend.defvjp(_blend_fwd, _blend_bwd)
@@ -443,7 +458,9 @@ def pack_pairs(
     the gather's transpose scatter-adds per-pair grads onto the gaussians.
 
     Returns (packed (GEOM_W + CH_pad, P_pad), packed_start, packed_end,
-    ch_pad)."""
+    ch_pad, num_budget_dropped): the last is a () int32 count of valid
+    pairs silently dropped by the budget clamp — a nonzero value means the
+    image is missing whole tiles' tails and the budget must be raised."""
     n = geom_all.shape[0]
     p = gauss_idx.shape[0]
     num_tiles = tile_start.shape[0]
@@ -454,11 +471,16 @@ def pack_pairs(
         channels = jnp.concatenate(
             [channels, jnp.zeros((n, ch_pad - ch), channels.dtype)], axis=1
         )
+    num_budget_dropped = jnp.zeros((), jnp.int32)
     if budget and budget < p:
+        pre_total = jnp.sum(tile_end - tile_start)
         p = budget
         gauss_idx = gauss_idx[:p]
         tile_start = jnp.minimum(tile_start, p)
         tile_end = jnp.minimum(tile_end, p)
+        num_budget_dropped = (
+            pre_total - jnp.sum(tile_end - tile_start)
+        ).astype(jnp.int32)
     counts = (tile_end - tile_start).astype(jnp.int32)
     padded = ((counts + CHUNK - 1) // CHUNK) * CHUNK
     packed_start = jnp.concatenate(
@@ -488,4 +510,4 @@ def pack_pairs(
     unified = jnp.concatenate([geom_all, channels], axis=1)
     zero_row = jnp.zeros((1, unified.shape[1]), unified.dtype)
     packed = jnp.concatenate([unified, zero_row])[src_gauss].T
-    return packed, packed_start, packed_end, ch_pad
+    return packed, packed_start, packed_end, ch_pad, num_budget_dropped

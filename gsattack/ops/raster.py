@@ -106,6 +106,26 @@ def bin_gaussians(
     return TileBins(sorted_gidx, tile_start, tile_end, culled)
 
 
+def auto_pairs_budget(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    pairs_per_gaussian: int = 32,
+    margin: float = 1.25,
+) -> int:
+    """Size `pairs_budget` from the actual binned pair count of one view
+    (margin headroom, rounded to the DMA chunk quantum). Host-side helper —
+    runs one binning pass; call once at setup, not inside jit."""
+    from .pallas_blend import CHUNK
+
+    bins = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius, width, height, pairs_per_gaussian
+    )
+    valid = int(jnp.sum(bins.tile_end - bins.tile_start))
+    budget = int(valid * margin) + CHUNK
+    return ((budget + CHUNK - 1) // CHUNK) * CHUNK
+
+
 def _blend_tiles(
     bins: TileBins,
     mean2d: jnp.ndarray,
@@ -244,7 +264,7 @@ def _blend_tiles_pallas(
         ],
         axis=-1,
     )
-    pair_packed, p_start, p_end, ch_pad = pack_pairs(
+    pair_packed, p_start, p_end, ch_pad, n_budget_dropped = pack_pairs(
         geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end,
         budget=pairs_budget,
     )
@@ -257,7 +277,19 @@ def _blend_tiles_pallas(
     img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, n_ch)
     Tm = T_t.reshape(tiles_y, tiles_x, TILE, TILE)
     Tm = Tm.transpose(0, 2, 1, 3).reshape(tiles_y * TILE, tiles_x * TILE)
-    return img[:height, :width], Tm[:height, :width]
+    # max_chunks clips hot tiles at max_chunks*CHUNK pairs (fwd and bwd see
+    # the same truncated set, so grads stay consistent — but the drop must
+    # be observable).
+    from .pallas_blend import CHUNK as P_CHUNK
+
+    n_clipped = jnp.sum(
+        jnp.maximum((p_end - p_start) - max_chunks * P_CHUNK, 0)
+    ).astype(jnp.int32)
+    return (
+        img[:height, :width],
+        Tm[:height, :width],
+        n_budget_dropped + n_clipped,
+    )
 
 
 @functools.partial(
@@ -306,7 +338,7 @@ def rasterize(
         else proj.color
     )
     if backend == "pallas":
-        img, T = _blend_tiles_pallas(
+        img, T, num_truncated = _blend_tiles_pallas(
             bins, proj, channels, width, height, chunk, max_chunks, interpret,
             pairs_budget,
         )
@@ -322,6 +354,12 @@ def rasterize(
             chunk,
             max_chunks,
         )
+        # The XLA path's per-tile work cap is chunk * max_chunks pairs.
+        num_truncated = jnp.sum(
+            jnp.maximum(
+                (bins.tile_end - bins.tile_start) - chunk * max_chunks, 0
+            )
+        ).astype(jnp.int32)
     n_ch = channels.shape[-1]
     bg_full = jnp.concatenate([bg, jnp.zeros(n_ch - bg.shape[0], bg.dtype)])
     img = img + T[..., None] * bg_full[None, None, :]
@@ -335,4 +373,8 @@ def rasterize(
         "render_object": obj_img,
         "final_transmittance": T,
         "num_culled_pairs": bins.num_culled_pairs,
+        # Valid pairs dropped past the static work caps (pairs_budget clamp
+        # + per-tile max_chunks clipping). Nonzero => the image is missing
+        # contributions; raise pairs_budget / max_chunks.
+        "num_truncated_pairs": num_truncated,
     }

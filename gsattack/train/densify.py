@@ -87,19 +87,33 @@ def _scatter_children(params, alive, want, child):
     return new_params, alive, dropped
 
 
+def _row_mask(mask, arr):
+    """Broadcast a (C,) bool mask over the trailing dims of arr (C, ...)."""
+    return mask.reshape((-1,) + (1,) * (arr.ndim - 1))
+
+
 @functools.partial(jax.jit, static_argnames=("use_screen_limit",))
 def densify_and_prune(
     scene: GaussianScene,
     stats: DensifyStats,
     key: jax.Array,
+    moments=None,
     max_grad: float = 2e-4,
     min_opacity: float = 0.005,
     extent: float = 1.0,
     percent_dense: float = 0.01,
     max_screen_size: float = 20.0,
     use_screen_limit: bool = False,
-) -> tuple[GaussianScene, DensifyStats, jnp.ndarray]:
-    """One densification pass. Returns (scene, reset stats, num_dropped)."""
+) -> tuple[GaussianScene, DensifyStats, jnp.ndarray, object]:
+    """One densification pass. Returns (scene, reset stats, num_dropped,
+    moments).
+
+    `moments` (optional) is a sequence of per-param trees (e.g. Adam's
+    (mu, nu)) routed through the SAME slot allocator as the params:
+    surviving points keep their moments, pruned slots and newly placed
+    children get zeros — the reference's `_prune_optimizer` /
+    `cat_tensors_to_optimizer` behavior (`scene/gaussian_model.py:573-650`),
+    vs. wiping every moment each densification."""
     c = scene.num_points
     grads = stats.xyz_gradient_accum / jnp.maximum(stats.denom, 1.0)
     grads = jnp.nan_to_num(grads)
@@ -123,8 +137,28 @@ def densify_and_prune(
     params = dict(snapshot)
     dropped = jnp.zeros((), jnp.int32)
 
+    # Fold the moment trees into the scattered dict under prefixed keys so
+    # one allocator pass moves params and moments consistently. Pruned
+    # slots' moments are zeroed (freed slots start clean) and child slots
+    # get zero moments.
+    moment_keys = []
+    if moments is not None:
+        for mi, tree in enumerate(moments):
+            for k, v in tree.items():
+                mk = f"__m{mi}.{k}"
+                params[mk] = jnp.where(_row_mask(prune, v), 0.0, v)
+                moment_keys.append(mk)
+
+    def with_zero_moments(child):
+        child = dict(child)
+        for mk in moment_keys:
+            child[mk] = jnp.zeros_like(params[mk])
+        return child
+
     # Clone wave: exact copies of the (pre-update) parent attributes.
-    params, alive, d0 = _scatter_children(params, alive, clone_mask, snapshot)
+    params, alive, d0 = _scatter_children(
+        params, alive, clone_mask, with_zero_moments(snapshot)
+    )
     dropped = dropped + d0
 
     # Split waves: N=2 children resampled around the parent.
@@ -135,11 +169,19 @@ def densify_and_prune(
         child = dict(snapshot)
         child["xyz"] = jnp.einsum("nij,nj->ni", rot, noise) + snapshot["xyz"]
         child["log_scale"] = jnp.log(scaling / (0.8 * n_split))
-        params, alive, di = _scatter_children(params, alive, split_mask, child)
+        params, alive, di = _scatter_children(
+            params, alive, split_mask, with_zero_moments(child)
+        )
         dropped = dropped + di
 
+    new_moments = None
+    if moments is not None:
+        new_moments = tuple(
+            {k: params.pop(f"__m{mi}.{k}") for k in tree}
+            for mi, tree in enumerate(moments)
+        )
     out = scene.with_params(params).replace(alive=alive)
-    return out, DensifyStats.zeros(c), dropped
+    return out, DensifyStats.zeros(c), dropped, new_moments
 
 
 def reset_opacity(scene: GaussianScene) -> GaussianScene:
@@ -150,8 +192,15 @@ def reset_opacity(scene: GaussianScene) -> GaussianScene:
     return scene.replace(opacity_logit=new)
 
 
-def grow_capacity(scene: GaussianScene, stats: DensifyStats, factor: float = 1.5):
-    """Host-side capacity growth when free slots run out (outside jit)."""
+def grow_capacity(
+    scene: GaussianScene,
+    stats: DensifyStats,
+    factor: float = 1.5,
+    moments=None,
+):
+    """Host-side capacity growth when free slots run out (outside jit).
+    `moments` trees (if given) are zero-padded to the new capacity so
+    surviving points keep their optimizer state."""
     new_cap = int(scene.num_points * factor)
     padded = scene.pad_to(new_cap)
     c = new_cap
@@ -161,4 +210,13 @@ def grow_capacity(scene: GaussianScene, stats: DensifyStats, factor: float = 1.5
         jnp.zeros(c).at[:n].set(stats.denom),
         jnp.zeros(c).at[:n].set(stats.max_radii2d),
     )
-    return padded, grown
+    if moments is None:
+        return padded, grown
+    grown_moments = tuple(
+        {
+            k: jnp.zeros((c,) + v.shape[1:], v.dtype).at[:n].set(v)
+            for k, v in tree.items()
+        }
+        for tree in moments
+    )
+    return padded, grown, grown_moments

@@ -63,6 +63,15 @@ class TrainConfig:
     backend: str = "xla"
     pairs_budget: int = 0
     spatial_lr_scale: float = 1.0
+    # Gaussian-Grouping 3D consistency regularizer (reference knobs
+    # `configs/config.yaml:37-41`; loss in train/reg3d.py). Enabled when
+    # a classifier head is given; applied every `reg3d_interval` steps.
+    use_reg3d: bool = False
+    reg3d_interval: int = 2
+    reg3d_k: int = 5
+    reg3d_lambda_val: float = 2.0
+    reg3d_max_points: int = 300_000
+    reg3d_sample_size: int = 1_000
 
 
 class TrainState(struct.PyTreeNode):
@@ -105,9 +114,15 @@ class Trainer:
         scene: GaussianScene,
         cfg: TrainConfig,
         cameras_extent: float = 1.0,
+        classifier: Optional[tuple] = None,  # (weight (C,16), bias (C,))
     ):
         self.cfg = cfg
         self.cameras_extent = cameras_extent
+        self.classifier = (
+            (jnp.asarray(classifier[0]), jnp.asarray(classifier[1]))
+            if classifier is not None
+            else None
+        )
         capacity = int(scene.num_points * cfg.capacity_headroom)
         scene = scene.pad_to(capacity)
         self.adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
@@ -140,6 +155,24 @@ class Trainer:
                 pairs_budget=cfg.pairs_budget,
             )
             loss = dssim_l1_loss(out["render"], gt, cfg.lambda_dssim)
+            if cfg.use_reg3d and self.classifier is not None:
+                from .reg3d import reg3d_loss
+
+                w, b = self.classifier
+                key = jax.random.fold_in(jax.random.PRNGKey(17), state.step)
+                reg = reg3d_loss(
+                    sc, w, b, key,
+                    k=cfg.reg3d_k,
+                    sample_size=cfg.reg3d_sample_size,
+                    max_points=cfg.reg3d_max_points,
+                    lambda_val=cfg.reg3d_lambda_val,
+                )
+                # Every `reg3d_interval` steps (reference schedule knob);
+                # cond-free masking keeps the step a single jitted graph.
+                apply = (state.step % cfg.reg3d_interval == 0).astype(
+                    jnp.float32
+                )
+                loss = loss + apply * reg
             return loss, out["radii"]
 
         params = scene0.params()
@@ -180,10 +213,17 @@ class Trainer:
         ):
             return
         use_screen = iteration > cfg.opacity_reset_interval
-        scene, stats, dropped = densify_and_prune(
+        adam_state = self.state.opt_state
+        # Route the Adam moments through the same slot allocator as the
+        # params: surviving points KEEP their moments, pruned slots and new
+        # children get zeros — matching the reference's `_prune_optimizer` /
+        # `cat_tensors_to_optimizer` (`scene/gaussian_model.py:573-650`)
+        # instead of wiping all moments every densification.
+        scene, stats, dropped, moments = densify_and_prune(
             self.state.scene,
             self.state.stats,
             key,
+            moments=(adam_state.mu, adam_state.nu),
             max_grad=cfg.densify_grad_threshold,
             min_opacity=cfg.min_opacity,
             extent=self.cameras_extent,
@@ -192,30 +232,30 @@ class Trainer:
             use_screen_limit=use_screen,
         )
         if int(dropped) > 0:
-            scene, stats = grow_capacity(scene, stats, cfg.capacity_headroom)
-            self.state = TrainState(
-                scene=scene,
-                opt_state=self.adam.init(scene.params()),
-                stats=stats,
-                step=self.state.step,
+            scene, stats, moments = grow_capacity(
+                scene, stats, cfg.capacity_headroom, moments=moments
             )
-        else:
-            # Densification changed point identities: reset Adam moments (the
-            # reference rebuilds optimizer slots similarly,
-            # `scene/gaussian_model.py:608-650`).
-            self.state = TrainState(
-                scene=scene,
-                opt_state=self.adam.init(scene.params()),
-                stats=stats,
-                step=self.state.step,
-            )
+        self.state = TrainState(
+            scene=scene,
+            opt_state=adam_state._replace(mu=moments[0], nu=moments[1]),
+            stats=stats,
+            step=self.state.step,
+        )
 
     def maybe_reset_opacity(self, iteration: int) -> None:
         cfg = self.cfg
         if iteration % cfg.opacity_reset_interval == 0 and iteration > 0:
             scene = reset_opacity(self.state.scene)
+            # Replace only the opacity moments (the reference's
+            # `replace_tensor_to_optimizer`, `scene/gaussian_model.py:558`);
+            # other groups keep their Adam state.
+            st = self.state.opt_state
+            mu = dict(st.mu)
+            nu = dict(st.nu)
+            mu["opacity_logit"] = jnp.zeros_like(mu["opacity_logit"])
+            nu["opacity_logit"] = jnp.zeros_like(nu["opacity_logit"])
             self.state = self.state.replace(
-                scene=scene, opt_state=self.adam.init(scene.params())
+                scene=scene, opt_state=st._replace(mu=mu, nu=nu)
             )
 
     def maybe_increase_sh(self, iteration: int) -> None:

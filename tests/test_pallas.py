@@ -74,6 +74,24 @@ def test_pallas_empty_scene_is_background():
     )
 
 
+def test_written_coverage_mask_truncated_tiles():
+    """The bwd-grad mask must exclude truncated-chunk regions of tiles whose
+    pair count exceeds max_chunks*CHUNK (uninitialized HBM on compiled TPU),
+    not just the global tail."""
+    from gsattack.ops.pallas_blend import CHUNK, written_coverage_mask
+
+    # tile 0: 3 chunks of pairs, tile 1: 1 chunk, max_chunks=2 -> tile 0's
+    # third chunk region must be uncovered.
+    tile_start = jnp.array([0, 3 * CHUNK], jnp.int32)
+    tile_end = jnp.array([3 * CHUNK - 5, 3 * CHUNK + 40], jnp.int32)
+    p_pad = 5 * CHUNK
+    m = np.asarray(written_coverage_mask(tile_start, tile_end, p_pad, 2))
+    assert m[: 2 * CHUNK].all()  # tile 0 written chunks
+    assert not m[2 * CHUNK : 3 * CHUNK].any()  # tile 0 truncated chunk
+    assert m[3 * CHUNK : 4 * CHUNK].all()  # tile 1's single chunk
+    assert not m[4 * CHUNK :].any()  # global tail
+
+
 def test_pallas_budget_paths():
     """A generous budget must not change the image; fwd+bwd must agree on
     the truncated pair set when max_chunks clips a hot tile."""

@@ -97,7 +97,7 @@ def test_densify_clone_into_free_slots():
     accum = jnp.zeros(16).at[0].set(10.0).at[3].set(10.0)
     stats = stats._replace(xyz_gradient_accum=accum, denom=jnp.ones(16))
     sc = sc.replace(log_scale=jnp.full_like(sc.log_scale, -10.0))  # tiny -> clone
-    out, _, dropped = densify_and_prune(
+    out, _, dropped, _ = densify_and_prune(
         sc, stats, jax.random.PRNGKey(0), max_grad=1.0, extent=1.0
     )
     assert int(dropped) == 0
@@ -115,7 +115,7 @@ def test_densify_split_replaces_parent():
     accum = jnp.zeros(16).at[1].set(10.0)
     stats = stats._replace(xyz_gradient_accum=accum, denom=jnp.ones(16))
     sc = sc.replace(log_scale=jnp.full_like(sc.log_scale, 2.0))  # big -> split
-    out, _, dropped = densify_and_prune(
+    out, _, dropped, _ = densify_and_prune(
         sc, stats, jax.random.PRNGKey(1), max_grad=1.0, extent=1.0, percent_dense=0.01
     )
     assert int(dropped) == 0
@@ -138,7 +138,7 @@ def test_densify_prune_low_opacity():
         opacity_logit=jnp.full((8, 1), -10.0).at[0, 0].set(2.0).at[1, 0].set(2.0)
     )
     stats = DensifyStats.zeros(8)
-    out, _, _ = densify_and_prune(sc, stats, jax.random.PRNGKey(0))
+    out, _, _, _ = densify_and_prune(sc, stats, jax.random.PRNGKey(0))
     assert int(out.alive.sum()) == 2
 
 
@@ -149,8 +149,75 @@ def test_densify_capacity_overflow_reports_dropped():
         xyz_gradient_accum=jnp.full(8, 10.0), denom=jnp.ones(8),
         max_radii2d=jnp.zeros(8),
     )
-    out, _, dropped = densify_and_prune(sc, stats, jax.random.PRNGKey(0), max_grad=1.0)
+    out, _, dropped, _ = densify_and_prune(sc, stats, jax.random.PRNGKey(0), max_grad=1.0)
     assert int(dropped) == 8  # all clones dropped
+
+
+def test_densify_routes_adam_moments_through_allocator():
+    """Surviving points keep their moments; pruned slots and new children
+    get zeros (reference `scene/gaussian_model.py:573-650`)."""
+    sc = make_toy_scene(n=8).pad_to(16)
+    stats = DensifyStats.zeros(16)
+    accum = jnp.zeros(16).at[0].set(10.0).at[3].set(10.0)
+    stats = stats._replace(xyz_gradient_accum=accum, denom=jnp.ones(16))
+    sc = sc.replace(log_scale=jnp.full_like(sc.log_scale, -10.0))  # clone
+    # point 5 pruned by low opacity
+    sc = sc.replace(opacity_logit=sc.opacity_logit.at[5, 0].set(-10.0))
+    params = sc.params()
+    mu = {k: jnp.ones_like(v) * 2.0 for k, v in params.items()}
+    nu = {k: jnp.ones_like(v) * 3.0 for k, v in params.items()}
+    out, _, dropped, (mu2, nu2) = densify_and_prune(
+        sc, stats, jax.random.PRNGKey(0), moments=(mu, nu),
+        max_grad=1.0, extent=1.0,
+    )
+    assert int(dropped) == 0
+    alive0 = np.asarray(sc.alive)
+    alive1 = np.asarray(out.alive)
+    assert alive1.sum() == 8 - 1 + 2  # one pruned, two clones
+    m = np.asarray(mu2["xyz"])
+    v = np.asarray(nu2["xyz"])
+    pruned = np.zeros(16, bool)
+    pruned[5] = True  # may be reused by a child (then moments are zeroed)
+    survivors = alive0 & alive1 & ~pruned
+    assert (m[survivors] == 2.0).all() and (v[survivors] == 3.0).all()
+    new_slots = (alive1 & ~alive0) | (pruned & alive1)  # clone children
+    assert new_slots.sum() == 2
+    assert (m[new_slots] == 0.0).all() and (v[new_slots] == 0.0).all()
+    assert (m[5] == 0.0).all()  # pruned slot cleared (or zeroed child)
+
+
+def test_trainer_preserves_moments_across_densify():
+    from gsattack.render import render
+
+    target = make_toy_scene(n=32, seed=6)
+    cam = make_toy_camera(width=32, height=32)
+    gt = jnp.asarray(np.asarray(render(target, cam, jnp.zeros(3))["render"]))
+    cfg = TrainConfig(
+        densify_from_iter=1, densification_interval=5, densify_until_iter=100,
+        densify_grad_threshold=1e9,  # nothing densifies: pure identity pass
+        opacity_reset_interval=10_000, sh_increase_interval=10_000,
+    )
+    trainer = Trainer(make_toy_scene(n=32, seed=7), cfg)
+    for it in range(1, 5):
+        trainer.train_step(cam, gt)
+    mu_before = np.asarray(trainer.state.opt_state.mu["xyz"])
+    assert np.abs(mu_before).max() > 0
+    trainer.maybe_densify(5, jax.random.PRNGKey(0))
+    mu_after = np.asarray(trainer.state.opt_state.mu["xyz"])
+    alive = np.asarray(trainer.state.scene.alive)
+    np.testing.assert_allclose(mu_after[alive], mu_before[alive], rtol=1e-6)
+
+    # opacity reset wipes only the opacity moments
+    trainer.maybe_reset_opacity(10_000)  # no-op (interval mismatch handled)
+    cfg2_mu = trainer.state.opt_state.mu
+    st = trainer.state.opt_state
+    trainer.cfg.opacity_reset_interval = 5
+    trainer.maybe_reset_opacity(5)
+    st2 = trainer.state.opt_state
+    assert np.abs(np.asarray(st2.mu["opacity_logit"])).max() == 0
+    np.testing.assert_allclose(
+        np.asarray(st2.mu["xyz"]), np.asarray(st.mu["xyz"])
+    )
 
 
 def test_reset_opacity():
