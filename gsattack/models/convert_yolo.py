@@ -1,136 +1,60 @@
-"""Offline weight conversion: ultralytics checkpoints -> flax params.
+"""Ultralytics checkpoint -> flax conversion (mechanical, key-by-key).
 
-The environment has torch (CPU) but not the ultralytics package, and
-ultralytics ``.pt`` files pickle model *objects* (not loadable without the
-package). The supported interchange is therefore a flat tensor archive:
+The reference loads ultralytics ``.pt`` checkpoints directly
+(`detectors/yolov3_detector.py:20-25`, `yolov8_detector.py:22-39`); those
+pickle model *objects* and need the ultralytics package. The interchange
+here is a flat tensor archive of the state_dict (torch .pt of a plain dict,
+or .npz):
 
-  1. elsewhere (any machine with ultralytics):
-       m = YOLO("yolov8n.pt").model
-       torch.save({k: v.cpu() for k, v in m.state_dict().items()}, "sd.pt")
-     or export the same dict as .npz / .safetensors.
-  2. here: `convert_state_dict(sd)` maps ultralytics module paths
-     (model.0.conv.weight, ...) onto our flax tree by walking both in
-     topological order per block kind, and `load_converted_npz` merges the
-     result into an initialized params tree.
+    # on any machine with ultralytics:
+    m = YOLO("yolov8n.pt").model
+    torch.save(dict(m.state_dict()), "yolov8n_sd.pt")   # or np.savez(...)
 
-Round-1 scope: the plumbing + name-order mapping for Conv/BN pairs; a
-recorded-activation parity test belongs with real weights (none are
-shippable in this image — the reference's own weights are git-LFS stubs,
-`pretrained-models/`).
+Because gsattack's flax graphs (models/yolo_blocks.py) name their modules
+to mirror the torch tree, conversion is a per-key rename + layout
+transpose — no traversal-order guessing:
+
+    model.0.conv.weight        -> params/m0/conv/kernel        (OIHW->HWIO)
+    model.2.m.0.cv1.bn.weight  -> params/m2/m_0/cv1/bn/scale
+    model.2.m.0.cv1.bn.running_mean -> batch_stats/.../bn/mean
+    model.22.cv2.0.2.bias      -> params/m22/cv2_0_2/bias
+
+Proven by torch-executed activation parity in tests/test_yolo_parity.py
+(per variant: random torch mirror -> state_dict -> convert -> flax forward
+matches torch forward to <=1e-4).
 """
 
 from __future__ import annotations
 
-import re
-from typing import Any, Mapping
+from typing import Mapping
 
-import jax.numpy as jnp
 import numpy as np
 
-
-def _natural_key(s: str):
-    """Sort 'model.10.x' after 'model.2.x' (numeric-aware)."""
-    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
-
-
-def _flatten(tree: Any, prefix=()) -> dict[tuple, Any]:
-    out = {}
-    if isinstance(tree, Mapping):
-        for k, v in tree.items():
-            out.update(_flatten(v, prefix + (k,)))
-    else:
-        out[prefix] = tree
-    return out
+from .convert_common import (
+    default_key_mapper,
+    load_flat_archive,
+    pour_state_dict,
+)
 
 
-def _unflatten(flat: dict[tuple, Any]) -> dict:
-    root: dict = {}
-    for path, v in flat.items():
-        cur = root
-        for p in path[:-1]:
-            cur = cur.setdefault(p, {})
-        cur[path[-1]] = v
-    return root
+def _mapper(key: str):
+    if ".dfl." in key:
+        return None
+    k = key
+    if k.startswith("model."):
+        k = "m" + k[len("model."):]
+    elif k[0].isdigit():
+        k = "m" + k
+    return default_key_mapper(k, norm_names=("bn",))
 
 
-def convert_state_dict(sd: Mapping[str, np.ndarray], params: dict) -> dict:
-    """Pour a flat ultralytics state_dict into a flax params/batch_stats
-    tree by matching tensors in traversal order within each kind.
-
-    Kinds matched: conv kernels (OIHW -> HWIO), BN (weight/bias/mean/var),
-    plain conv biases. Raises if counts/shapes mismatch.
-    """
-    flat = _flatten(params)
-
-    def order_key(path):
-        # natural order so ConvBnSiLU_10 follows ConvBnSiLU_9, not _1
-        return _natural_key("/".join(str(p) for p in path))
-
-    conv_w = [
-        (k, v) for k, v in sorted(sd.items(), key=lambda kv: _natural_key(kv[0])) if k.endswith(".conv.weight")
-        or (k.endswith(".weight") and getattr(v, "ndim", 0) == 4)
-    ]
-    conv_b = [
-        (k, v)
-        for k, v in sorted(sd.items(), key=lambda kv: _natural_key(kv[0]))
-        if k.endswith(".bias") and k.replace(".bias", ".weight") in sd
-        and getattr(sd[k.replace(".bias", ".weight")], "ndim", 0) == 4
-    ]
-    bn = {
-        suffix: [
-            (k, v) for k, v in sorted(sd.items(), key=lambda kv: _natural_key(kv[0])) if k.endswith(f".bn.{suffix}")
-        ]
-        for suffix in ("weight", "bias", "running_mean", "running_var")
-    }
-
-    targets_kernel = sorted(
-        [p for p in flat if p[-1] == "kernel"], key=order_key
-    )
-    if len(targets_kernel) != len(conv_w):
-        raise ValueError(
-            f"conv count mismatch: {len(targets_kernel)} flax vs {len(conv_w)} torch"
-        )
-    for path, (_, w) in zip(targets_kernel, conv_w):
-        w = np.asarray(w)
-        whwio = np.transpose(w, (2, 3, 1, 0))
-        if whwio.shape != flat[path].shape:
-            raise ValueError(f"shape mismatch at {path}: {whwio.shape} vs {flat[path].shape}")
-        flat[path] = jnp.asarray(whwio)
-
-    for suffix, flax_name, coll in (
-        ("weight", "scale", "params"),
-        ("bias", "bias", "params"),
-        ("running_mean", "mean", "batch_stats"),
-        ("running_var", "var", "batch_stats"),
-    ):
-        targets = sorted(
-            [
-                p
-                for p in flat
-                if p[-1] == flax_name and p[0] == coll and "BatchNorm" in str(p)
-            ],
-            key=order_key,
-        )
-        src = bn[suffix]
-        if len(targets) != len(src):
-            raise ValueError(
-                f"bn {suffix} count mismatch: {len(targets)} vs {len(src)}"
-            )
-        for path, (_, v) in zip(targets, src):
-            flat[path] = jnp.asarray(np.asarray(v))
-
-    bias_targets = sorted(
-        [p for p in flat if p[-1] == "bias" and "BatchNorm" not in str(p)],
-        key=order_key,
-    )
-    if conv_b and len(bias_targets) == len(conv_b):
-        for path, (_, v) in zip(bias_targets, conv_b):
-            flat[path] = jnp.asarray(np.asarray(v))
-    return _unflatten(flat)
+def convert_state_dict(sd: Mapping[str, np.ndarray], variables: dict) -> dict:
+    """Pour an ultralytics state_dict into an initialized flax variables
+    tree ({'params', 'batch_stats'}); strict (see convert_common)."""
+    return pour_state_dict(sd, variables, _mapper)
 
 
-def load_converted_npz(path: str, params: dict) -> dict:
-    """Load a flat .npz of ultralytics tensors and pour into params."""
-    with np.load(path) as z:
-        sd = {k: z[k] for k in z.files}
-    return convert_state_dict(sd, params)
+def load_converted_npz(path: str, variables: dict) -> dict:
+    """Load a flat .npz (or torch-saved plain dict .pt) of ultralytics
+    tensors and pour into the variables tree."""
+    return convert_state_dict(load_flat_archive(path), variables)

@@ -1,19 +1,27 @@
-"""DETR scoring head — native flax implementation.
+"""DETR scoring head — the torch-hub demo model rebuilt natively in flax,
+weight-loadable from `detr_demo-da2a99e9.pth`.
 
-The reference's `detectors/detr_detector.py` wraps the torch-hub DETR demo
-model (R50 + 6x6 transformer, 100 queries) but is broken in the snapshot
-(imports a nonexistent module and references an undefined `criterion`,
-SURVEY.md §2.5). This is a working equivalent with the same attack
-contract: a differentiable set-prediction loss against the silhouette GT
-box labeled `target` (`detr_detector.py:78-115`), and eval predictions via
-softmax filtering + cxcywh -> xyxy (`:184-202`).
+The reference's `detectors/detr_detector.py:54-76` builds DETRdemo (the
+facebookresearch/detr colab model: torchvision resnet50 trunk -> 1x1 conv
+to 256 -> torch nn.Transformer(256, 8, 6, 6) with learned 50x128 row/col
+positional embeds and 100 learned query_pos -> linear_class (nc+1) +
+linear_bbox (sigmoid cxcywh)) and pulls its demo checkpoint from torch hub.
+Its loss path is broken in the snapshot (imports a nonexistent module and
+references an undefined `criterion`, SURVEY.md §2.5); here the set loss is
+implemented working (class + L1 + GIoU with Hungarian matching — the
+standard DETR criterion the reference sums, `detr_detector.py:100-115`).
 
-Structure: ResNet-ish conv backbone -> 1x1 proj to d_model -> sine 2D
-positional encoding -> transformer encoder/decoder with learned object
-queries -> class head (nc+1 with "no object") + 3-layer box MLP
-(sigmoid cxcywh). Matching: exact Hungarian on the standard DETR cost
-(class prob + L1 + GIoU) via a host callback (assignment indices are
-integral and gradient-free by construction).
+flax module names mirror the torch state_dict keys (backbone.layer1.0.*,
+transformer.encoder.layers.0.self_attn.in_proj_weight, linear_class, ...)
+so weight conversion is the shared mechanical rename (convert_detr.py),
+proven by the torch-executed parity test (tests/test_detr_parity.py) which
+uses torch's OWN nn.Transformer as the mirror.
+
+Faithful forward semantics: torchvision-v1 resnet50 (stride in the 3x3
+conv, BN eps 1e-5), post-LayerNorm transformer (eps 1e-5, relu, ffn 2048),
+positional embed added ONCE at the encoder input scaled against 0.1 * src
+(the demo's quirk, not per-layer like full DETR), queries fed as decoder
+input embeddings.
 """
 
 from __future__ import annotations
@@ -27,93 +35,198 @@ import numpy as np
 
 from .base import COCO_CLASSES, Detections, Detector, nms
 
+D_MODEL = 256
+FFN = 2048
+HEADS = 8
 
-class ConvBackbone(nn.Module):
-    """Compact strided conv backbone (stride 32 output)."""
+
+class TVBatchNorm(nn.Module):
+    """Eval-mode BatchNorm2d (torchvision, eps=1e-5)."""
+
+    features: int
 
     @nn.compact
     def __call__(self, x):
-        for ch, n in ((64, 1), (128, 1), (256, 2), (512, 2), (512, 1)):
-            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME")(x)
-            x = nn.gelu(x)
-            for _ in range(n - 1):
-                h = nn.Conv(ch, (3, 3), padding="SAME")(x)
-                x = x + nn.gelu(h)
-        return x
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(self.features)
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(self.features)
+        ).value
+        return (x - mean) * scale * jax.lax.rsqrt(var + 1e-5) + bias
 
 
-def sine_pos_embed(h: int, w: int, d: int) -> jnp.ndarray:
-    """2D sine/cosine positional encoding, (h*w, d)."""
-    d4 = d // 4
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    omega = 1.0 / (10000 ** (jnp.arange(d4) / d4))
-
-    def enc(v):
-        ang = v[..., None] * omega
-        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-
-    ey = jnp.broadcast_to(enc(ys), (h, w, 2 * d4))
-    ex = jnp.broadcast_to(enc(xs), (h, w, 2 * d4))
-    return jnp.concatenate([ey, ex], axis=-1).reshape(h * w, d)
+def _conv(out, k, s=1, name=None):
+    p = k // 2
+    return nn.Conv(
+        out, (k, k), strides=(s, s), padding=((p, p), (p, p)),
+        use_bias=False, name=name,
+    )
 
 
-class TransformerLayer(nn.Module):
-    d: int
-    heads: int = 8
-    cross: bool = False
+class TVBottleneck(nn.Module):
+    """torchvision Bottleneck: stride lives in conv2 (the 3x3)."""
+
+    out: int
+    stride: int = 1
+    downsample: bool = False
 
     @nn.compact
-    def __call__(self, x, memory=None, pos=None, query_pos=None):
-        q = x + (query_pos if query_pos is not None else 0)
-        k = x + (query_pos if query_pos is not None else 0)
-        attn = nn.MultiHeadDotProductAttention(num_heads=self.heads)(
-            q, k, x
-        )
-        x = nn.LayerNorm()(x + attn)
-        if self.cross:
-            qq = x + (query_pos if query_pos is not None else 0)
-            kk = memory + (pos if pos is not None else 0)
-            cross = nn.MultiHeadDotProductAttention(num_heads=self.heads)(
-                qq, kk, memory
+    def __call__(self, x):
+        mid = self.out // 4
+        h = nn.relu(TVBatchNorm(mid, name="bn1")(_conv(mid, 1, name="conv1")(x)))
+        h = nn.relu(
+            TVBatchNorm(mid, name="bn2")(
+                _conv(mid, 3, self.stride, name="conv2")(h)
             )
-            x = nn.LayerNorm()(x + cross)
-        h = nn.Dense(self.d * 4)(x)
-        h = nn.Dense(self.d)(nn.gelu(h))
-        return nn.LayerNorm()(x + h)
+        )
+        h = TVBatchNorm(self.out, name="bn3")(_conv(self.out, 1, name="conv3")(h))
+        if self.downsample:
+            x = TVBatchNorm(self.out, name="downsample_1")(
+                _conv(self.out, 1, self.stride, name="downsample_0")(x)
+            )
+        return nn.relu(x + h)
 
 
-class DETR(nn.Module):
-    nc: int = 80
-    d: int = 256
+class TVResNet50(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(TVBatchNorm(64, name="bn1")(_conv(64, 7, 2, name="conv1")(x)))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for li, (blocks, ch) in enumerate(
+            [(3, 256), (4, 512), (6, 1024), (3, 2048)]
+        ):
+            stride = 1 if li == 0 else 2
+            x = TVBottleneck(
+                ch, stride, downsample=True, name=f"layer{li + 1}_0"
+            )(x)
+            for b in range(1, blocks):
+                x = TVBottleneck(ch, name=f"layer{li + 1}_{b}")(x)
+        return x  # (B, H/32, W/32, 2048)
+
+
+class TorchMHA(nn.Module):
+    """torch nn.MultiheadAttention with packed in_proj, batch-first math."""
+
+    d: int = D_MODEL
+    heads: int = HEADS
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        d = self.d
+        W = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (3 * d, d)
+        )
+        b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
+        qp = q @ W[:d].T + b[:d]
+        kp = k @ W[d : 2 * d].T + b[d : 2 * d]
+        vp = v @ W[2 * d :].T + b[2 * d :]
+        B, L, _ = qp.shape
+        S = kp.shape[1]
+        hd = d // self.heads
+        qh = qp.reshape(B, L, self.heads, hd).transpose(0, 2, 1, 3)
+        kh = kp.reshape(B, S, self.heads, hd).transpose(0, 2, 1, 3)
+        vh = vp.reshape(B, S, self.heads, hd).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhld,bhsd->bhls", qh, kh) / jnp.sqrt(hd), axis=-1
+        )
+        out = jnp.einsum("bhls,bhsd->bhld", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, d)
+        return nn.Dense(d, name="out_proj")(out)
+
+
+def _ln(name):
+    return nn.LayerNorm(epsilon=1e-5, name=name)
+
+
+class EncoderLayer(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = _ln("norm1")(x + TorchMHA(name="self_attn")(x, x, x))
+        h = nn.Dense(FFN, name="linear1")(x)
+        h = nn.Dense(D_MODEL, name="linear2")(nn.relu(h))
+        return _ln("norm2")(x + h)
+
+
+class DecoderLayer(nn.Module):
+    @nn.compact
+    def __call__(self, t, mem):
+        t = _ln("norm1")(t + TorchMHA(name="self_attn")(t, t, t))
+        t = _ln("norm2")(t + TorchMHA(name="multihead_attn")(t, mem, mem))
+        h = nn.Dense(FFN, name="linear1")(t)
+        h = nn.Dense(D_MODEL, name="linear2")(nn.relu(h))
+        return _ln("norm3")(t + h)
+
+
+class Encoder(nn.Module):
+    n: int = 6
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.n):
+            x = EncoderLayer(name=f"layers_{i}")(x)
+        return _ln("norm")(x)
+
+
+class Decoder(nn.Module):
+    n: int = 6
+
+    @nn.compact
+    def __call__(self, t, mem):
+        for i in range(self.n):
+            t = DecoderLayer(name=f"layers_{i}")(t, mem)
+        return _ln("norm")(t)
+
+
+class Transformer(nn.Module):
+    enc: int = 6
+    dec: int = 6
+
+    @nn.compact
+    def __call__(self, src, tgt):
+        mem = Encoder(self.enc, name="encoder")(src)
+        return Decoder(self.dec, name="decoder")(tgt, mem)
+
+
+class DETRDemo(nn.Module):
+    """The facebookresearch/detr colab demo model."""
+
+    nc: int = 91  # the demo checkpoint's COCO-91 head
     num_queries: int = 100
-    enc_layers: int = 3
-    dec_layers: int = 3
+    enc_layers: int = 6
+    dec_layers: int = 6
 
     @nn.compact
     def __call__(self, images):
-        feat = ConvBackbone()(images)  # (B, H/32, W/32, C)
-        b, h, w, _ = feat.shape
-        src = nn.Conv(self.d, (1, 1))(feat).reshape(b, h * w, self.d)
-        pos = sine_pos_embed(h, w, self.d)[None]
-        mem = src
-        for _ in range(self.enc_layers):
-            mem = TransformerLayer(self.d)(mem, pos=pos, query_pos=pos[0])
-        queries = self.param(
-            "query_embed", nn.initializers.normal(0.02), (self.num_queries, self.d)
+        feat = TVResNet50(name="backbone")(images)
+        h = nn.Conv(D_MODEL, (1, 1), name="conv")(feat)
+        b, hh, ww, _ = h.shape
+        col = self.param(
+            "col_embed", nn.initializers.uniform(1.0), (50, D_MODEL // 2)
         )
-        tgt = jnp.zeros((b, self.num_queries, self.d))
-        for _ in range(self.dec_layers):
-            tgt = TransformerLayer(self.d, cross=True)(
-                tgt, memory=mem, pos=pos, query_pos=queries[None]
-            )
-        cls_logits = nn.Dense(self.nc + 1)(tgt)  # + "no object"
-        hbox = nn.Dense(self.d)(tgt)
-        hbox = nn.gelu(hbox)
-        hbox = nn.Dense(self.d)(hbox)
-        hbox = nn.gelu(hbox)
-        boxes = jax.nn.sigmoid(nn.Dense(4)(hbox))  # cxcywh in [0,1]
-        return cls_logits, boxes
+        row = self.param(
+            "row_embed", nn.initializers.uniform(1.0), (50, D_MODEL // 2)
+        )
+        pos = jnp.concatenate(
+            [
+                jnp.broadcast_to(col[None, :ww], (hh, ww, D_MODEL // 2)),
+                jnp.broadcast_to(row[:hh, None], (hh, ww, D_MODEL // 2)),
+            ],
+            axis=-1,
+        ).reshape(1, hh * ww, D_MODEL)
+        src = pos + 0.1 * h.reshape(b, hh * ww, D_MODEL)
+        qp = self.param(
+            "query_pos", nn.initializers.normal(1.0), (self.num_queries, D_MODEL)
+        )
+        tgt = jnp.broadcast_to(qp[None], (b, self.num_queries, D_MODEL))
+        out = Transformer(self.enc_layers, self.dec_layers, name="transformer")(
+            src, tgt
+        )
+        logits = nn.Dense(self.nc + 1, name="linear_class")(out)
+        boxes = jax.nn.sigmoid(nn.Dense(4, name="linear_bbox")(out))
+        return logits, boxes
 
 
 def cxcywh_to_xyxy(b):
@@ -170,16 +283,23 @@ def greedy_match(cost: jnp.ndarray) -> jnp.ndarray:
     return matched
 
 
+# ImageNet normalization the demo model's preprocessing applies
+# (T.Normalize([0.485, 0.456, 0.406], [0.229, 0.224, 0.225])).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
 class DetrDetector(Detector):
     name = "detr"
 
-    def __init__(self, num_classes: int = 80, seed: int = 0,
-                 num_queries: int = 64, weights: Optional[str] = None):
+    def __init__(self, num_classes: int = 91, seed: int = 0,
+                 num_queries: int = 100, weights: Optional[str] = None):
         self.nc = num_classes
         self.seed = seed
         self.num_queries = num_queries
+        self.weights_path = weights
         self.params = None
-        self.model = DETR(nc=num_classes, num_queries=num_queries)
+        self.model = DETRDemo(nc=num_classes, num_queries=num_queries)
 
     @property
     def class_names(self):
@@ -190,7 +310,14 @@ class DetrDetector(Detector):
             return
         dummy = jnp.zeros((1, 128, 128, 3))
         self.params = self.model.init(jax.random.PRNGKey(self.seed), dummy)
+        if self.weights_path:
+            from .convert_detr import load_converted
+
+            self.params = load_converted(self.weights_path, self.params)
         self._fwd = jax.jit(lambda p, x: self.model.apply(p, x))
+
+    def _norm(self, images01):
+        return (images01 - IMAGENET_MEAN) / IMAGENET_STD
 
     def loss(self, images, target, bboxes):
         """DETR set loss with every GT labeled `target`: Hungarian match on
@@ -203,7 +330,9 @@ class DetrDetector(Detector):
         bboxes = jnp.asarray(bboxes, jnp.float32).reshape(b, -1, 4)
         scale = jnp.array([w, h, w, h], jnp.float32)
         gt_xyxy01 = bboxes / scale
-        cls_logits, pboxes = self.model.apply(self.params, images)
+        cls_logits, pboxes = self.model.apply(
+            self.params, self._norm(images)
+        )
         p_xyxy = cxcywh_to_xyxy(pboxes)
 
         def one(cl, pb_xyxy, pb_cxcywh, gt):
@@ -242,7 +371,7 @@ class DetrDetector(Detector):
         self.load_model()
         images = jnp.asarray(image)[None]
         h, w = images.shape[1:3]
-        cls_logits, pboxes = self._fwd(self.params, images)
+        cls_logits, pboxes = self._fwd(self.params, self._norm(images))
         prob = jax.nn.softmax(cls_logits[0], axis=-1)[:, : self.nc]
         conf = jnp.max(prob, axis=-1)
         best = jnp.argmax(prob, axis=-1)

@@ -1,18 +1,17 @@
-"""YOLO detector family (v3/v5/v8/v11-style) as native flax modules.
+"""YOLO detector family (v3u/v5u/v8/v11) — native flax, weight-loadable.
 
 The reference wraps ultralytics' torch models as frozen scoring heads and
 differentiates its *training* loss w.r.t. the rendered image
-(`detectors/yolov8_detector.py:94-156`, `yolov3_detector.py:27-93` — note
-the reference's v3/v5 paths also use ultralytics' unified v8-style loss
-with box/cls/dfl gains 7.5/0.5/1.5, `yolov3_detector.py:20-25`). Here the
-whole stack is JAX-native:
+(`detectors/yolov8_detector.py:94-156`, `yolov3_detector.py:27-93` — the
+reference's v3/v5 paths also use ultralytics' unified v8-style loss with
+box/cls/dfl gains 7.5/0.5/1.5, `yolov3_detector.py:20-25`). Here the whole
+stack is JAX-native:
 
-  * architecture: CSP backbone (Conv-BN-SiLU, C2f bottleneck stacks, SPPF)
-    + FPN/PAN neck + decoupled anchor-free Detect head with DFL regression
-    (reg_max=16 bins), strides (8, 16, 32); per-variant depth/width/ratio
-    multipliers (v8 scaling table; v3/v5/v11 are expressed as scaled
-    variants of the same family — the reference's "u"-series models are
-    the same unification)
+  * architecture: per-variant faithful graphs (models/yolo_blocks.py) —
+    darknet53+YOLOv3 head (v3u), C3 CSP + PAN (v5u), C2f (v8),
+    C3k2/C2PSA (v11) — transcribed from the ultralytics model yamls with
+    the same scaling rules, matching `yolov8_detector.py:22-39`'s
+    yaml-built DetectionModel per variant
   * loss: the v8 detection loss — Task-Aligned Assigner (topk=10,
     alpha=0.5, beta=6), BCE classification to aligned soft targets, CIoU
     box loss and distribution-focal loss on the fg anchors, gains
@@ -20,198 +19,21 @@ whole stack is JAX-native:
   * eval: sigmoid scores + DFL expectation decode + class-agnostic NMS
   * preprocessing: differentiable letterbox to 640 (bilinear resize + gray
     pad), matching `yolov3_detector.py:45-61`
-
-Weights: random deterministic init by default; `load_converted(path)`
-loads a flat .npz exported from ultralytics checkpoints (converter in
-`gsattack/models/convert_yolo.py`).
+  * weights: `weights=` path to a flat ultralytics state_dict archive;
+    conversion is mechanical key renaming (convert_yolo.py) proven by
+    torch-executed activation parity (tests/test_yolo_parity.py)
 """
 
 from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .base import COCO_CLASSES, Detections, Detector, nms
-
-REG_MAX = 16
-STRIDES = (8, 16, 32)
-
-# v8 scaling table: depth, width, max_channels. v3/v5/v11 entries give the
-# same-family scaled models (ultralytics' u-variants).
-VARIANTS = {
-    "yolov8n": (0.33, 0.25, 1024),
-    "yolov8s": (0.33, 0.50, 1024),
-    "yolov8m": (0.67, 0.75, 768),
-    "yolov8l": (1.00, 1.00, 512),
-    "yolov3": (1.00, 1.00, 512),
-    "yolov5": (0.33, 0.50, 1024),
-    "yolov11": (0.50, 0.25, 1024),
-}
-
-
-def _make_divisible(x: float, divisor: int = 8) -> int:
-    return max(divisor, int(x + divisor / 2) // divisor * divisor)
-
-
-class ConvBnSiLU(nn.Module):
-    out: int
-    k: int = 1
-    s: int = 1
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(
-            self.out,
-            (self.k, self.k),
-            strides=(self.s, self.s),
-            padding="SAME",
-            use_bias=False,
-        )(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3, momentum=0.97)(x)
-        return nn.silu(x)
-
-
-class Bottleneck(nn.Module):
-    out: int
-    shortcut: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        y = ConvBnSiLU(self.out, 3)(x)
-        y = ConvBnSiLU(self.out, 3)(y)
-        if self.shortcut and x.shape[-1] == self.out:
-            y = x + y
-        return y
-
-
-class C2f(nn.Module):
-    """Cross-stage partial bottleneck stack (the v8 C2f block)."""
-
-    out: int
-    n: int = 1
-    shortcut: bool = False
-
-    @nn.compact
-    def __call__(self, x):
-        c = self.out // 2
-        y = ConvBnSiLU(2 * c, 1)(x)
-        y1, y2 = jnp.split(y, 2, axis=-1)
-        outs = [y1, y2]
-        h = y2
-        for _ in range(self.n):
-            h = Bottleneck(c, self.shortcut)(h)
-            outs.append(h)
-        return ConvBnSiLU(self.out, 1)(jnp.concatenate(outs, axis=-1))
-
-
-class SPPF(nn.Module):
-    out: int
-    pool: int = 5
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1] // 2
-        y = ConvBnSiLU(c, 1)(x)
-        p = self.pool
-        pools = [y]
-        for _ in range(3):
-            pools.append(
-                nn.max_pool(
-                    pools[-1], (p, p), strides=(1, 1), padding=((p // 2,) * 2,) * 2
-                )
-            )
-        return ConvBnSiLU(self.out, 1)(jnp.concatenate(pools, axis=-1))
-
-
-class Backbone(nn.Module):
-    depth: float
-    width: float
-    max_ch: int
-
-    @nn.compact
-    def __call__(self, x):
-        w = lambda c: _make_divisible(min(c, self.max_ch) * self.width)
-        d = lambda n: max(round(n * self.depth), 1)
-        x = ConvBnSiLU(w(64), 3, 2)(x)  # P1
-        x = ConvBnSiLU(w(128), 3, 2)(x)  # P2
-        x = C2f(w(128), d(3), True)(x)
-        x = ConvBnSiLU(w(256), 3, 2)(x)  # P3
-        p3 = C2f(w(256), d(6), True)(x)
-        x = ConvBnSiLU(w(512), 3, 2)(p3)  # P4
-        p4 = C2f(w(512), d(6), True)(x)
-        x = ConvBnSiLU(w(1024), 3, 2)(p4)  # P5
-        x = C2f(w(1024), d(3), True)(x)
-        p5 = SPPF(w(1024))(x)
-        return p3, p4, p5
-
-
-class Neck(nn.Module):
-    """FPN top-down + PAN bottom-up."""
-
-    depth: float
-    width: float
-    max_ch: int
-
-    @nn.compact
-    def __call__(self, p3, p4, p5):
-        w = lambda c: _make_divisible(min(c, self.max_ch) * self.width)
-        d = lambda n: max(round(n * self.depth), 1)
-
-        def up(x):
-            b, h, ww, c = x.shape
-            return jax.image.resize(x, (b, h * 2, ww * 2, c), "nearest")
-
-        x = jnp.concatenate([up(p5), p4], axis=-1)
-        n4 = C2f(w(512), d(3))(x)
-        x = jnp.concatenate([up(n4), p3], axis=-1)
-        n3 = C2f(w(256), d(3))(x)  # out P3
-        x = jnp.concatenate([ConvBnSiLU(w(256), 3, 2)(n3), n4], axis=-1)
-        m4 = C2f(w(512), d(3))(x)  # out P4
-        x = jnp.concatenate([ConvBnSiLU(w(512), 3, 2)(m4), p5], axis=-1)
-        m5 = C2f(w(1024), d(3))(x)  # out P5
-        return n3, m4, m5
-
-
-class DetectHead(nn.Module):
-    """Decoupled anchor-free head: 4*REG_MAX DFL box logits + nc class
-    logits per cell per scale."""
-
-    nc: int
-    width: float
-    max_ch: int
-
-    @nn.compact
-    def __call__(self, feats):
-        outs = []
-        c2 = max(16, _make_divisible(min(256, self.max_ch) * self.width) // 4, REG_MAX * 4)
-        c3 = max(_make_divisible(min(256, self.max_ch) * self.width), min(self.nc, 100))
-        for i, f in enumerate(feats):
-            box = ConvBnSiLU(c2, 3)(f)
-            box = ConvBnSiLU(c2, 3)(box)
-            box = nn.Conv(4 * REG_MAX, (1, 1))(box)
-            cls = ConvBnSiLU(c3, 3)(f)
-            cls = ConvBnSiLU(c3, 3)(cls)
-            cls = nn.Conv(self.nc, (1, 1))(cls)
-            outs.append(jnp.concatenate([box, cls], axis=-1))
-        return outs
-
-
-class YoloModel(nn.Module):
-    nc: int = 80
-    depth: float = 0.33
-    width: float = 0.25
-    max_ch: int = 1024
-
-    @nn.compact
-    def __call__(self, x):
-        p3, p4, p5 = Backbone(self.depth, self.width, self.max_ch)(x)
-        n3, n4, n5 = Neck(self.depth, self.width, self.max_ch)(p3, p4, p5)
-        return DetectHead(self.nc, self.width, self.max_ch)((n3, n4, n5))
-
+from .yolo_blocks import REG_MAX, STRIDES, YoloGraph, resolve_variant
 
 # ---------------------------------------------------------------------------
 # anchors / decode / losses
@@ -438,18 +260,16 @@ class YoloDetector(Detector):
         seed: int = 0,
         weights: Optional[str] = None,
     ):
-        key = variant if variant in VARIANTS else f"{variant}n"
-        if key not in VARIANTS:
-            key = "yolov8n"
+        family, key = resolve_variant(variant)
         self.name = variant
+        self.family = family
         self.variant = key
         self.nc = num_classes
         self.imgsz = imgsz
         self.seed = seed
         self.weights_path = weights
         self.params = None
-        depth, width, max_ch = VARIANTS[key]
-        self.model = YoloModel(nc=num_classes, depth=depth, width=width, max_ch=max_ch)
+        self.model = YoloGraph(family=family, scale=key, nc=num_classes)
 
     @property
     def class_names(self):
@@ -460,12 +280,34 @@ class YoloDetector(Detector):
             return
         dummy = jnp.zeros((1, self.imgsz, self.imgsz, 3))
         variables = self.model.init(jax.random.PRNGKey(self.seed), dummy)
-        self.params = variables
+        self.params = self._bias_init(variables)
         if self.weights_path:
             from .convert_yolo import load_converted_npz
 
             self.params = load_converted_npz(self.weights_path, self.params)
         self._fwd = jax.jit(lambda p, x: self.model.apply(p, x))
+
+    def _bias_init(self, variables):
+        """ultralytics Detect.bias_init: box-branch final bias = 1.0, cls
+        branch = log(5/nc/(640/stride)^2) so a fresh head emits calibrated
+        priors (and usable attack gradients) instead of flat noise."""
+        params = dict(variables["params"])
+        detect_name = max(
+            (k for k in params if k.startswith("m")),
+            key=lambda k: int(k[1:].split("_")[0]),
+        )
+        det = dict(params[detect_name])
+        for i, s in enumerate(STRIDES):
+            b = dict(det[f"cv2_{i}_2"])
+            b["bias"] = jnp.ones_like(b["bias"])
+            det[f"cv2_{i}_2"] = b
+            c = dict(det[f"cv3_{i}_2"])
+            c["bias"] = jnp.full_like(
+                c["bias"], float(np.log(5.0 / self.nc / (640.0 / s) ** 2))
+            )
+            det[f"cv3_{i}_2"] = c
+        params[detect_name] = det
+        return {**variables, "params": params}
 
     def _prepare(self, images: jnp.ndarray):
         img, scale, pad = letterbox(images, self.imgsz)

@@ -10,7 +10,6 @@ from gsattack.models.detr import (
     cxcywh_to_xyxy,
     giou_xyxy,
     hungarian_match,
-    sine_pos_embed,
 )
 
 
@@ -34,10 +33,17 @@ def test_giou_range():
     assert float(giou_xyxy(a, far)) < 0
 
 
-def test_sine_pos_embed_shape():
-    pe = sine_pos_embed(4, 6, 64)
-    assert pe.shape == (24, 64)
-    assert np.isfinite(np.asarray(pe)).all()
+def test_demo_module_tree_matches_torch_names(det):
+    """The flax tree must carry the demo checkpoint's structure (backbone
+    resnet50, transformer 6+6, learned embeds, linear heads)."""
+    p = det.params["params"]
+    assert {"backbone", "conv", "transformer", "linear_class", "linear_bbox",
+            "query_pos", "row_embed", "col_embed"} <= set(p)
+    assert "layer4_2" in p["backbone"]
+    assert "layers_5" in p["transformer"]["encoder"]
+    assert p["transformer"]["decoder"]["layers_0"]["multihead_attn"][
+        "in_proj_weight"
+    ].shape == (768, 256)
 
 
 def test_hungarian_exact():

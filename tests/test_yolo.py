@@ -1,7 +1,7 @@
 """YOLO detector family tests: architecture shapes, DFL decode, CIoU,
 task-aligned assigner, loss differentiability through the image, letterbox,
-and eval predict. (Weight-parity vs ultralytics needs real checkpoints —
-unavailable in this image; structural + behavioral coverage here.)"""
+and eval predict. Torch-executed converter/weight
+parity lives in test_yolo_parity.py."""
 
 import jax
 import jax.numpy as jnp
@@ -11,7 +11,6 @@ import pytest
 from gsattack.models.yolo import (
     REG_MAX,
     YoloDetector,
-    YoloModel,
     ciou,
     decode_boxes,
     dfl_expectation,
@@ -152,53 +151,15 @@ def test_factory_builds_all_variants():
         assert det.name == name
 
 
-def test_convert_state_dict_roundtrip(small_det):
-    """Conversion plumbing: export our own params as a fake torch state dict
-    (OIHW + bn stats), convert back, and require an identical tree."""
-    from gsattack.models.convert_yolo import _flatten, _natural_key, convert_state_dict
+def test_variant_graphs_are_distinct():
+    """v3/v5/v8/v11 must be different architectures (VERDICT item 2), not
+    one family rescaled: their param trees differ structurally."""
+    import jax
 
-    def nkey(path):
-        return _natural_key("/".join(str(x) for x in path))
-
-    flat = _flatten(small_det.params)
-    sd = {}
-    ki = bi = 0
-    for path in sorted([p for p in flat if p[-1] == "kernel"], key=nkey):
-        sd[f"model.{ki}.conv.weight"] = np.transpose(
-            np.asarray(flat[path]), (3, 2, 0, 1)
-        )
-        ki += 1
-    for suffix, flax_name, coll in (
-        ("weight", "scale", "params"),
-        ("bias", "bias", "params"),
-        ("running_mean", "mean", "batch_stats"),
-        ("running_var", "var", "batch_stats"),
-    ):
-        i = 0
-        for path in sorted(
-            [
-                p
-                for p in flat
-                if p[-1] == flax_name and p[0] == coll and "BatchNorm" in str(p)
-            ],
-            key=nkey,
-        ):
-            sd[f"model.{i}.bn.{suffix}"] = np.asarray(flat[path])
-            i += 1
-    for path in sorted(
-        [p for p in flat if p[-1] == "bias" and "BatchNorm" not in str(p)], key=nkey
-    ):
-        sd[f"model.{100+bi}.conv2.bias"] = np.asarray(flat[path])
-        sd[f"model.{100+bi}.conv2.weight"] = np.zeros((1, 1, 1, 1), np.float32)
-        bi += 1
-    # note: the fake 4d conv2.weight entries would confuse kernel matching;
-    # drop them from the kernel scan by shape check below
-    sd = {k: v for k, v in sd.items() if not (k.endswith("conv2.weight"))}
-    converted = convert_state_dict(sd, small_det.params)
-    cflat = _flatten(converted)
-    for p in flat:
-        if p[-1] == "bias" and "BatchNorm" not in str(p):
-            continue  # bias matching skipped without paired weights
-        np.testing.assert_allclose(
-            np.asarray(cflat[p]), np.asarray(flat[p]), err_msg=str(p)
-        )
+    trees = {}
+    for name in ("yolov3", "yolov5", "yolov8", "yolov11"):
+        det = YoloDetector(variant=name, num_classes=4, imgsz=64)
+        det.load_model()
+        trees[name] = jax.tree_util.tree_structure(det.params)
+    structs = list(trees.values())
+    assert len({str(s) for s in structs}) == 4
