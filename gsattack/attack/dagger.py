@@ -53,6 +53,11 @@ class AttackConfig:
     attributes: tuple = ("color",)
     norm: str = "l2"
     add_cams: int = 0
+    # Camera-range selection (`attack.py:262`, config keys start_cam /
+    # end_cam — carried but left commented out in the reference; live
+    # here). None = no slicing.
+    start_cam: Optional[int] = None
+    end_cam: Optional[int] = None
     shift_amount: float = 0.15
     white_background: bool = False
     eval_every: int = 1
@@ -93,10 +98,25 @@ def render_views(
 ) -> jnp.ndarray:
     """Batched multi-view render -> (B, H, W, 3). `cams` is a stacked Camera.
 
-    The XLA path vmaps over views; the pallas path maps sequentially
-    (lax.map): batching a pallas custom call through vmap currently trips
-    an XLA fusion crash (fused_root->IsFusible), and the kernel grid is
-    serial per chip anyway."""
+    The XLA path vmaps over views; the pallas path projects/bins per view
+    and blends the whole batch in ONE kernel launch with grid
+    (views, tiles) (ops/raster.rasterize_views) — replacing the r1
+    `lax.map` serialization (vmapping the pallas custom call tripped an
+    XLA fusion crash, and per-view launches repaid the grid overhead
+    every view)."""
+
+    if backend == "pallas":
+        from ..ops.project import project
+        from ..ops.raster import rasterize_views
+
+        proj = jax.vmap(lambda c: project(scene, c))(cams)
+        return rasterize_views(
+            proj, cams.width, cams.height, bg,
+            pairs_per_gaussian=pairs_per_gaussian,
+            max_chunks=max_chunks,
+            backend="pallas",
+            pairs_budget=pairs_budget,
+        )["render"]
 
     def one(cam):
         return render(
@@ -109,8 +129,6 @@ def render_views(
             pairs_budget=pairs_budget,
         )["render"]
 
-    if backend == "pallas":
-        return jax.lax.map(one, cams)
     return jax.vmap(one)(cams)
 
 
@@ -165,6 +183,9 @@ def run_dagger(
             lambda x: jax.device_put(x, view_sh), c
         )
 
+    cameras = list(cameras)
+    if cfg.start_cam is not None or cfg.end_cam is not None:
+        cameras = cameras[cfg.start_cam : cfg.end_cam]
     views = expand_viewpoints(cameras, cfg.add_cams)
     if cfg.batch_mode and cfg.batch_size > 0:
         rem = len(views) % cfg.batch_size

@@ -152,6 +152,8 @@ def cmd_attack(argv):
         attributes=tuple(cfg.get("attack_attributes", ["color"])),
         norm=cfg.get("attack_norm", "l2"),
         add_cams=cfg.add_cams,
+        start_cam=cfg.get("start_cam"),
+        end_cam=cfg.get("end_cam"),
         shift_amount=cfg.shift_amount,
         white_background=cfg.white_background,
         eval_every=cfg.get("eval_every", 1),

@@ -378,3 +378,106 @@ def rasterize(
         # contributions; raise pairs_budget / max_chunks.
         "num_truncated_pairs": num_truncated,
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
+        "backend", "interpret", "pairs_budget", "with_objects",
+    ),
+)
+def rasterize_views(
+    proj: ProjectedGaussians,  # leading views dim on every array (V, N, ...)
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    pairs_per_gaussian: int = 32,
+    chunk: int = 64,
+    max_chunks: int = 16,
+    backend: str = "pallas",
+    interpret: bool = False,
+    pairs_budget: int = 0,
+    with_objects: bool = True,
+) -> dict:
+    """Multi-view batched rasterization.
+
+    The pallas path bins and packs per view (vmapped XLA) then blends the
+    WHOLE batch in one kernel launch with grid (views, tiles) — killing the
+    per-view `lax.map` serialization and its repeated grid overhead
+    (VERDICT r2 item 2; the reference launches its CUDA rasterizer once per
+    view, `attack.py:481-484`). The xla backend simply vmaps `rasterize`.
+
+    Returns the `rasterize` dict with a leading view dim on the images and
+    scalar diagnostics summed over views.
+    """
+    if backend != "pallas":
+        fn = lambda p: rasterize(
+            p, width, height, bg, pairs_per_gaussian, chunk, max_chunks,
+            backend, interpret, pairs_budget, with_objects,
+        )
+        return jax.vmap(fn)(proj)
+
+    from .pallas_blend import CHUNK as P_CHUNK
+    from .pallas_blend import GEOM_W, pack_pairs, pallas_blend_views
+
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+
+    bins = jax.vmap(
+        lambda m, d, r: bin_gaussians(
+            m, d, r, width, height, pairs_per_gaussian
+        )
+    )(proj.mean2d, proj.depth, proj.radius)
+    channels = (
+        jnp.concatenate([proj.color, proj.obj], axis=-1)
+        if with_objects
+        else proj.color
+    )
+    n_ch = channels.shape[-1]
+    geom_all = jnp.concatenate(
+        [
+            proj.mean2d,
+            proj.conic,
+            proj.opacity[..., None],
+            jnp.zeros(proj.mean2d.shape[:2] + (GEOM_W - 6,), jnp.float32),
+        ],
+        axis=-1,
+    )  # (V, N, GEOM_W)
+    packed, p_start, p_end, _, n_dropped = jax.vmap(
+        lambda g, c, gi, ts, te: pack_pairs(g, c, gi, ts, te, budget=pairs_budget)
+    )(geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end)
+    ch_pad = ((n_ch + 7) // 8) * 8  # static (pack_pairs' sublane padding)
+    out = pallas_blend_views(
+        packed, p_start, p_end, tiles_x, tiles_y, max_chunks, interpret,
+    )  # (V, T, CH_pad+1, P_PIX)
+    v = out.shape[0]
+    img_t = jnp.swapaxes(out[:, :, :n_ch, :], 2, 3)  # (V, T, P, CH)
+    T_t = out[:, :, ch_pad, :]
+    img = img_t.reshape(v, tiles_y, tiles_x, TILE, TILE, n_ch)
+    img = img.transpose(0, 1, 3, 2, 4, 5).reshape(
+        v, tiles_y * TILE, tiles_x * TILE, n_ch
+    )
+    Tm = T_t.reshape(v, tiles_y, tiles_x, TILE, TILE)
+    Tm = Tm.transpose(0, 1, 3, 2, 4).reshape(
+        v, tiles_y * TILE, tiles_x * TILE
+    )
+    img = img[:, :height, :width]
+    Tm = Tm[:, :height, :width]
+    n_clipped = jnp.sum(
+        jnp.maximum((p_end - p_start) - max_chunks * P_CHUNK, 0)
+    ).astype(jnp.int32)
+    bg_full = jnp.concatenate([bg, jnp.zeros(n_ch - bg.shape[0], bg.dtype)])
+    img = img + Tm[..., None] * bg_full[None, None, None, :]
+    obj_img = (
+        img[..., 3:]
+        if with_objects
+        else jnp.zeros(img.shape[:3] + (proj.obj.shape[-1],), img.dtype)
+    )
+    return {
+        "render": img[..., :3],
+        "render_object": obj_img,
+        "final_transmittance": Tm,
+        "num_culled_pairs": jnp.sum(bins.num_culled_pairs),
+        "num_truncated_pairs": jnp.sum(n_dropped) + n_clipped,
+    }

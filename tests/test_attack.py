@@ -350,6 +350,33 @@ def test_expand_viewpoints_yaw():
     assert not np.allclose(out[1].R, out[0].R)
 
 
+def test_dagger_camera_range_selection(monkeypatch):
+    """start_cam/end_cam slice the attack's camera set (`attack.py:262`,
+    carried-but-dormant in the reference; live here)."""
+    import gsattack.attack.dagger as dg
+    from gsattack.attack import AttackConfig, run_dagger
+    from gsattack.models import ToyDetector
+    from tests.conftest import make_toy_scene
+
+    captured = {}
+    orig = dg.expand_viewpoints
+
+    def spy(cams, add_cams):
+        captured["n"] = len(cams)
+        return orig(cams, add_cams)
+
+    monkeypatch.setattr(dg, "expand_viewpoints", spy)
+    det = ToyDetector(num_classes=4)
+    scene = make_toy_scene(n=48, seed=2)
+    run_dagger(
+        scene, _toy_views(4), det,
+        AttackConfig(max_iters=2, batch_mode=False, target=1,
+                     save_ply=False, start_cam=1, end_cam=3),
+        log=lambda *_: None,
+    )
+    assert captured["n"] == 2  # cameras [1:3]
+
+
 def test_dagger_checkpoint_resume(tmp_path):
     """Attack resilience (a capability the reference lacks): interrupt after
     a few iterations, resume from the checkpoint, and end at the same state

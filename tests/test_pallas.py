@@ -118,3 +118,53 @@ def test_pallas_budget_paths():
     g = jax.grad(loss)(sc.params())
     for k, v in g.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_batched_views_blend_matches_per_view():
+    """One (views, tiles)-grid launch must reproduce per-view renders and
+    the XLA gradients (VERDICT r2 item 4: the lax.map killer)."""
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import rasterize, rasterize_views
+
+    sc = make_toy_scene(n=96, seed=3)
+    cams = [make_toy_camera(width=48, height=48, z=0.1 * i) for i in range(3)]
+    bg = jnp.array([0.2, 0.4, 0.6])
+    projs = [project(sc, c) for c in cams]
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *projs)
+    out = rasterize_views(
+        batched, 48, 48, bg, backend="pallas", interpret=True, max_chunks=8
+    )
+    for i, p in enumerate(projs):
+        ref = rasterize(p, 48, 48, bg, backend="pallas", interpret=True,
+                        max_chunks=8)
+        np.testing.assert_allclose(
+            np.asarray(out["render"][i]), np.asarray(ref["render"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["final_transmittance"][i]),
+            np.asarray(ref["final_transmittance"]), atol=1e-5,
+        )
+
+    def loss_b(params):
+        s2 = sc.with_params(params)
+        pr = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[project(s2, c) for c in cams]
+        )
+        o = rasterize_views(pr, 48, 48, bg, backend="pallas", interpret=True,
+                            max_chunks=8)
+        return jnp.mean(o["render"] ** 2)
+
+    def loss_x(params):
+        s2 = sc.with_params(params)
+        tot = 0.0
+        for c in cams:
+            o = rasterize(project(s2, c), 48, 48, bg, backend="xla")
+            tot = tot + jnp.mean(o["render"] ** 2)
+        return tot / 3
+
+    gb = jax.grad(loss_b)(sc.params())
+    gx = jax.grad(loss_x)(sc.params())
+    for k in gb:
+        r, q = np.asarray(gx[k]), np.asarray(gb[k])
+        s = max(np.abs(r).max(), 1e-9)
+        np.testing.assert_allclose(q, r, atol=5e-5 * s, err_msg=k)

@@ -128,3 +128,69 @@ def test_dagger_with_mesh():
         np.asarray(res_mesh.scene.f_dc), np.asarray(res_plain.scene.f_dc),
         atol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pallas fast path x mesh (VERDICT r2 item 2): the shard_map composition
+# must reproduce the unsharded render and its gradients.
+# ---------------------------------------------------------------------------
+
+
+def _views(n, w=48, h=48):
+    return [make_toy_camera(width=w, height=h, z=0.1 * i) for i in range(n)]
+
+
+def test_sharded_pallas_render_matches_unsharded():
+    from gsattack.core.camera import stack_cameras
+    from gsattack.parallel.pallas_shard import render_views_sharded
+    from gsattack.parallel.shardings import shard_camera_batch
+    from gsattack.render import render
+
+    sc = make_toy_scene(n=96, seed=3)
+    cams = stack_cameras(_views(4))
+    mesh = make_mesh((2, 4))
+    bg = jnp.array([0.2, 0.4, 0.6])
+    out = render_views_sharded(
+        shard_scene(sc, mesh), shard_camera_batch(cams, mesh), bg, mesh,
+        max_chunks=8, interpret=True,
+    )
+    for i, cam in enumerate(_views(4)):
+        ref = render(sc, cam, bg, max_chunks=8)["render"]
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), atol=1e-5
+        )
+
+
+def test_sharded_pallas_grads_match_unsharded():
+    from gsattack.core.camera import stack_cameras
+    from gsattack.parallel.pallas_shard import render_views_sharded
+    from gsattack.parallel.shardings import shard_camera_batch
+    from gsattack.render import render
+
+    sc = make_toy_scene(n=96, seed=3)
+    cams = stack_cameras(_views(4))
+    mesh = make_mesh((2, 4))
+    bg = jnp.zeros(3)
+    sc_sh = shard_scene(sc, mesh)
+    cams_sh = shard_camera_batch(cams, mesh)
+
+    def loss_sh(params):
+        o = render_views_sharded(
+            sc_sh.with_params(params), cams_sh, bg, mesh, max_chunks=8,
+            interpret=True,
+        )
+        return jnp.mean(o**2)
+
+    def loss_ref(params):
+        s2 = sc.with_params(params)
+        tot = 0.0
+        for cam in _views(4):
+            tot = tot + jnp.mean(render(s2, cam, bg, max_chunks=8)["render"] ** 2)
+        return tot / 4
+
+    g1 = jax.grad(loss_sh)(sc_sh.params())
+    g0 = jax.grad(loss_ref)(sc.params())
+    for k in g0:
+        r, q = np.asarray(g0[k]), np.asarray(g1[k])
+        s = max(np.abs(r).max(), 1e-9)
+        np.testing.assert_allclose(q, r, atol=5e-5 * s, err_msg=k)
