@@ -119,6 +119,92 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     return mpix
 
 
+def check_parity(scene, cam, pairs, chunk, max_chunks, pairs_budget,
+                 with_objects):
+    """Compiled pallas vs XLA fwd + grads on the bench scene (VERDICT r2
+    item 6): the driver loop runs this every round, so a Mosaic regression
+    ships loudly instead of silently. Returns (max_rel_err, ok)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsattack.render import render
+
+    bg = jnp.zeros(3)
+    target = jnp.zeros((cam.height, cam.width, 3))
+
+    def loss_fn(params, backend, budget):
+        sc = scene.with_params(params)
+        out = render(
+            sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
+            max_chunks=max_chunks, backend=backend, pairs_budget=budget,
+            with_objects=with_objects,
+        )
+        return jnp.mean((out["render"] - target) ** 2), out["render"]
+
+    params = scene.params()
+    vg = jax.jit(jax.value_and_grad(loss_fn, has_aux=True),
+                 static_argnames=("backend", "budget"))
+    (_, img_p), g_p = vg(params, backend="pallas", budget=pairs_budget)
+    (_, img_x), g_x = vg(params, backend="xla", budget=0)
+    img_err = float(jnp.abs(img_p - img_x).max())
+    max_rel = img_err  # image is O(1)
+    for k in g_p:
+        scale = float(jnp.abs(g_x[k]).max())
+        if scale == 0.0:
+            continue
+        err = float(jnp.abs(g_p[k] - g_x[k]).max()) / scale
+        max_rel = max(max_rel, err)
+    ok = max_rel < 1e-3
+    log(f"parity pallas-vs-xla: max rel err {max_rel:.2e} image err "
+        f"{img_err:.2e} -> {'OK' if ok else 'FAIL'}")
+    return max_rel, ok
+
+
+def bench_fwd_bwd_views(scene, cam, iters: int, pairs: int, max_chunks: int,
+                        views: int, pairs_budget: int, with_objects: bool):
+    """Multi-view batched fwd+bwd: ONE (views, tiles)-grid pallas launch
+    per step — the amortized path DAGGER uses for its camera batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsattack.core import make_camera, stack_cameras
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import rasterize_views
+
+    cams = stack_cameras([
+        make_camera(np.eye(3), np.array([0.0, 0.0, 0.05 * i]), 1.0,
+                    cam.height / cam.width, cam.width, cam.height)
+        for i in range(views)
+    ])
+    bg = jnp.zeros(3)
+    target = jnp.zeros((views, cam.height, cam.width, 3))
+
+    def loss_fn(params):
+        sc = scene.with_params(params)
+        proj = jax.vmap(lambda c: project(sc, c))(cams)
+        out = rasterize_views(
+            proj, cam.width, cam.height, bg, pairs_per_gaussian=pairs,
+            max_chunks=max_chunks, backend="pallas",
+            pairs_budget=pairs_budget, with_objects=with_objects,
+        )
+        return jnp.mean((out["render"] - target) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    params = scene.params()
+    t0 = time.perf_counter()
+    loss, grads = vg(params)
+    jax.block_until_ready(grads)
+    log(f"first batched fwd+bwd (compile + run): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = vg(params)
+    jax.block_until_ready(grads)
+    dt = time.perf_counter() - t0
+    mpix = cam.width * cam.height * views * iters / dt / 1e6
+    log(f"batched fwd+bwd: {iters} x {views} views in {dt:.3f}s -> {mpix:.2f} Mpix/s")
+    return mpix
+
+
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
               backend: str = "xla", batch: int = 2, pairs_budget: int = 0,
               use_mesh: bool = False):
@@ -223,10 +309,14 @@ def main():
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--pairs-budget", type=int, default=-1, help="-1: auto (4*n_points, pallas only)")
-    ap.add_argument("--mode", default="raster", choices=["raster", "pgd"])
+    ap.add_argument("--mode", default="raster",
+                    choices=["raster", "raster-views", "pgd"])
     ap.add_argument("--views", type=int, default=2)
     ap.add_argument("--objects", action="store_true", help="blend the 16 grouping channels too")
     ap.add_argument("--mesh", action="store_true", help="shard PGD over a (views, splats) mesh (multi-device)")
+    ap.add_argument("--parity", dest="parity", action="store_true",
+                    default=None, help="gate compiled pallas vs XLA parity")
+    ap.add_argument("--no-parity", dest="parity", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -263,7 +353,13 @@ def main():
             )
         )
         return
-    if args.forward_only:
+    if args.mode == "raster-views":
+        mpix = bench_fwd_bwd_views(
+            scene, cam, args.iters, args.pairs, args.max_chunks, args.views,
+            budget, args.objects,
+        )
+        metric = "fwd_bwd_views_mpix_per_s"
+    elif args.forward_only:
         mpix = bench_forward(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
             args.backend, budget, args.objects,
@@ -276,16 +372,25 @@ def main():
         )
         metric = "fwd_bwd_mpix_per_s"
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(mpix, 3),
-                "unit": "Mpix/s",
-                "vs_baseline": 1.0,
-            }
+    record = {
+        "metric": metric,
+        "value": round(mpix, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": 1.0,
+    }
+    # Parity gate (default on for the single-view raster bench with the
+    # pallas backend): a Mosaic regression must show up in BENCH_r*.json.
+    run_parity = args.parity
+    if run_parity is None:
+        run_parity = args.mode == "raster" and args.backend == "pallas"
+    if run_parity:
+        max_err, ok = check_parity(
+            scene, cam, args.pairs, args.chunk, args.max_chunks, budget,
+            args.objects,
         )
-    )
+        record["parity_max_rel_err"] = float(f"{max_err:.3e}")
+        record["parity_ok"] = bool(ok)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -112,6 +112,21 @@ def _setup_scene_and_views(cfg):
         return scene, None, views, mask
 
 
+def _detector_kwargs(cfg):
+    """Detector construction knobs from the scene config: checkpoint path
+    (`detector_weights` — the reference's per-detector weight files,
+    `detectors/*_detector.py:load_model`), class count and input size."""
+    kw = {}
+    sc = cfg.scene
+    if sc.get("detector_weights"):
+        kw["weights"] = sc.detector_weights
+    if sc.get("detector_num_classes"):
+        kw["num_classes"] = int(sc.detector_num_classes)
+    if sc.get("detector_imgsz"):
+        kw["imgsz"] = int(sc.detector_imgsz)
+    return kw
+
+
 def cmd_attack(argv):
     from .attack import AttackConfig, run_dagger
     from .models import load_detector
@@ -123,7 +138,7 @@ def cmd_attack(argv):
     args = ap.parse_args(argv)
     cfg = load_config(args.config_dir, overrides=args.overrides)
 
-    detector = load_detector(cfg.scene.detector_name)
+    detector = load_detector(cfg.scene.detector_name, **_detector_kwargs(cfg))
     detector.load_model()
 
     def resolve(label):
@@ -186,7 +201,7 @@ def cmd_render_eval(argv):
     args = ap.parse_args(argv)
     cfg = load_config(args.config_dir, overrides=args.overrides)
 
-    detector = load_detector(cfg.scene.detector_name)
+    detector = load_detector(cfg.scene.detector_name, **_detector_kwargs(cfg))
     detector.load_model()
     target = cfg.scene.get("target")
     target_idx = detector.resolve_label_index(target) if target else None
@@ -326,7 +341,7 @@ def cmd_train(argv):
         from .attack.cloak import CloakConfig, run_cloak
         from .models import load_detector
 
-        det = load_detector(cfg.scene.detector_name)
+        det = load_detector(cfg.scene.detector_name, **_detector_kwargs(cfg))
         det.load_model()
         target = det.resolve_label_index(args.poison_target or cfg.scene.target)
         ccfg = CloakConfig(
