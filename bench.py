@@ -235,11 +235,12 @@ def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
     )
     originals = scene.params()
 
+    mesh = None
     if use_mesh:
         # Scaling machinery (BASELINE.md: >=80% efficiency to multi-chip):
         # views-DP over the camera batch + splats sharding of the scene.
-        # Requires backend=xla (vmap path; pallas custom calls cannot be
-        # vmapped yet) and batch % views_axis == 0.
+        # backend=pallas runs the shard_map composition
+        # (parallel/pallas_shard.py); batch % views_axis == 0 required.
         import jax as _jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -268,8 +269,17 @@ def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
 
     def loss_fn(params):
         sc = scene.with_params(params)
-        imgs = render_views(sc, cams, bg, pairs, max_chunks, backend,
-                            pairs_budget)
+        if mesh is not None and backend == "pallas":
+            from gsattack.parallel.pallas_shard import render_views_sharded
+
+            imgs = render_views_sharded(
+                sc, cams, bg, mesh, pairs_per_gaussian=pairs,
+                max_chunks=max_chunks, pairs_budget=pairs_budget,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            imgs = render_views(sc, cams, bg, pairs, max_chunks, backend,
+                                pairs_budget)
         return det.loss(imgs, 2, bboxes)
 
     @jax.jit
@@ -333,8 +343,18 @@ def main():
     scene, cam = build_problem(args.n_points, args.width, args.height, args.sh_degree)
     log(f"scene: {scene.num_points} splats, SH{args.sh_degree}, {args.width}x{args.height}")
     budget = args.pairs_budget
-    if budget < 0:
-        budget = 4 * args.n_points if args.backend == "pallas" else 0
+    if budget < 0 and args.backend == "pallas":
+        # Auto-size from the real binned pair count (r1 ran a 400k budget
+        # against 193k valid pairs — the pack gather is latency-bound per
+        # row, so the oversize budget cost ~2x pack time for nothing).
+        from gsattack.ops.project import project
+        from gsattack.ops.raster import auto_pairs_budget
+
+        budget = auto_pairs_budget(
+            project(scene, cam), args.width, args.height, args.pairs
+        )
+    elif budget < 0:
+        budget = 0
     log(f"backend={args.backend} pairs_budget={budget}")
 
     if args.mode == "pgd":

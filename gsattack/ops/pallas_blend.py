@@ -318,6 +318,31 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(0, nchunks, bwd_body, jnp.zeros((P_PIX, 1), jnp.float32))
 
+    # Tiles whose pair count exceeds max_chunks*CHUNK have truncated chunks
+    # in [nchunks, padded_chunks) that the walk never writes — zero them in
+    # HBM here (they contain VALID gaussian slots whose fwd contribution
+    # was clipped, so zero gradient is the semantically correct value; left
+    # unwritten they would scatter-add uninitialized memory into the
+    # parameter grads). Slots outside every tile's valid range map to the
+    # sacrificial gather row and are discarded by the pack transpose, so
+    # only this rare overloaded-tile case needs work.
+    padded_chunks = jax.lax.div(e - s + CHUNK - 1, CHUNK)
+
+    @pl.when(padded_chunks > nchunks)
+    def _():
+        dpacked_s[:] = jnp.zeros((dpacked_s.shape[0], CHUNK), jnp.float32)
+
+    def zero_body(k, _):
+        base = pl.multiple_of(s + k * CHUNK, CHUNK)
+        cp = pltpu.make_async_copy(
+            dpacked_s, dpacked_hbm.at[v, :, pl.ds(base, CHUNK)], osem
+        )
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(nchunks, padded_chunks, zero_body, 0)
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def pallas_blend_views(
@@ -427,33 +452,12 @@ def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_start, tile_end, packed, g_out)
-    # Zero every position the kernel did not write. Per tile the kernel
-    # writes exactly min(ceil(count/CHUNK), max_chunks) chunks starting at
-    # tile_start; a tile whose pair count exceeds max_chunks*CHUNK leaves
-    # its truncated-chunk region as uninitialized HBM, and everything past
-    # the last tile's padded end is untouched too. Both would scatter-add
-    # garbage into the gaussian grads via the pack_pairs gather transpose.
-    covered = jax.vmap(
-        lambda ts, te: written_coverage_mask(ts, te, packed.shape[2], max_chunks)
-    )(tile_start, tile_end)
-    dpacked = jnp.where(covered[:, None, :], dpacked, 0.0)
+    # Every slot the kernel leaves unwritten is safe by construction: the
+    # bwd kernel zeroes truncated chunks of overloaded tiles itself, and
+    # all remaining unwritten slots (inter-tile padding, the global tail)
+    # carry src_gauss == n in pack_pairs' gather, so their cotangents land
+    # in the sacrificial zero row and are discarded by the transpose.
     return dpacked, None, None
-
-
-def written_coverage_mask(tile_start, tile_end, p_pad, max_chunks):
-    """(p_pad,) bool: slots the bwd kernel actually writes — per tile,
-    the first min(ceil(count/CHUNK), max_chunks) chunks from tile_start.
-    Uses the marks+cumsum tile-of-slot trick (searchsorted is serial on
-    TPU)."""
-    num_tiles = tile_start.shape[0]
-    counts = tile_end - tile_start
-    written = jnp.minimum((counts + CHUNK - 1) // CHUNK, max_chunks) * CHUNK
-    marks = jnp.zeros(p_pad + 1, jnp.int32).at[tile_start].add(1)
-    t_of_q = jnp.clip(
-        jnp.cumsum(marks[:p_pad]) - 1, 0, num_tiles - 1
-    ).astype(jnp.int32)
-    q = jnp.arange(p_pad, dtype=jnp.int32)
-    return (q - tile_start[t_of_q]) < written[t_of_q]
 
 
 pallas_blend_views.defvjp(_blend_fwd, _blend_bwd)

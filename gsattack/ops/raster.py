@@ -34,6 +34,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .project import ProjectedGaussians
@@ -91,17 +92,36 @@ def bin_gaussians(
     valid = j < touched[:, None]
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
-    flat_tile = tile_id.reshape(-1)
-    flat_depth = jnp.broadcast_to(depth[:, None], (n, c)).reshape(-1)
+    # Single-key sort: pack (tile, depth) into one uint32 — the CUDA
+    # reference radix-sorts a packed 64-bit key the same way; one 32-bit
+    # key beats TPU's lexicographic 2-key variadic sort. Bit split adapts:
+    # tiles take ceil(log2(T+2)) high bits (the +1 sentinel for invalid
+    # pairs must fit), depth gets the rest via the monotonic squash
+    # q = d/(d+1) in (0,1). At 800x800 that is 20 depth bits (~3e-5 world
+    # resolution at d=3) — only true near-ties can reorder, and alpha
+    # compositing of coincident-depth splats is order-insensitive to f32
+    # noise anyway.
+    nbits_tile = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
+    depth_bits = 32 - nbits_tile
+    q = jnp.clip(depth / (depth + 1.0), 0.0, 1.0 - 1e-7)
+    dq = jnp.minimum(
+        (q * np.float32(2.0**depth_bits)).astype(jnp.uint32),
+        np.uint32(2**depth_bits - 1),
+    )
+    key = (
+        jnp.left_shift(tile_id.astype(jnp.uint32), depth_bits)
+        | jnp.broadcast_to(dq[:, None], (n, c))
+    ).reshape(-1)
     flat_gidx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, c)
     ).reshape(-1)
-    sorted_tile, _, sorted_gidx = jax.lax.sort(
-        (flat_tile, flat_depth, flat_gidx), num_keys=2
-    )
-    tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(sorted_tile, tids + 1, side="left").astype(jnp.int32)
+    sorted_key, sorted_gidx = jax.lax.sort((key, flat_gidx), num_keys=1)
+    tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
+    bounds = jnp.searchsorted(
+        sorted_key, jnp.left_shift(tids, depth_bits), side="left"
+    ).astype(jnp.int32)
+    tile_start = bounds[:-1]
+    tile_end = bounds[1:]
     culled = jnp.sum(jnp.maximum(touched - c, 0))
     return TileBins(sorted_gidx, tile_start, tile_end, culled)
 
@@ -424,11 +444,6 @@ def rasterize_views(
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
 
-    bins = jax.vmap(
-        lambda m, d, r: bin_gaussians(
-            m, d, r, width, height, pairs_per_gaussian
-        )
-    )(proj.mean2d, proj.depth, proj.radius)
     channels = (
         jnp.concatenate([proj.color, proj.obj], axis=-1)
         if with_objects
@@ -444,9 +459,30 @@ def rasterize_views(
         ],
         axis=-1,
     )  # (V, N, GEOM_W)
-    packed, p_start, p_end, _, n_dropped = jax.vmap(
-        lambda g, c, gi, ts, te: pack_pairs(g, c, gi, ts, te, budget=pairs_budget)
-    )(geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end)
+    # Per-view bin + pack as an UNROLLED loop (V is small and static):
+    # vmapping lax.sort and the pack gather knocks both off their TPU fast
+    # paths (measured 113ms/view batched vs 70ms unbatched at 100k/800^2);
+    # unrolled they perform exactly like the single-view path, and only
+    # the blend kernel launch is batched.
+    v = geom_all.shape[0]
+    per_view = []
+    for vi in range(v):
+        bins = bin_gaussians(
+            proj.mean2d[vi], proj.depth[vi], proj.radius[vi], width, height,
+            pairs_per_gaussian,
+        )
+        per_view.append(
+            pack_pairs(
+                geom_all[vi], channels[vi], bins.gauss_idx, bins.tile_start,
+                bins.tile_end, budget=pairs_budget,
+            )
+            + (bins.num_culled_pairs,)
+        )
+    packed = jnp.stack([pv[0] for pv in per_view])
+    p_start = jnp.stack([pv[1] for pv in per_view])
+    p_end = jnp.stack([pv[2] for pv in per_view])
+    n_dropped = jnp.stack([pv[4] for pv in per_view])
+    n_culled = jnp.stack([pv[5] for pv in per_view])
     ch_pad = ((n_ch + 7) // 8) * 8  # static (pack_pairs' sublane padding)
     out = pallas_blend_views(
         packed, p_start, p_end, tiles_x, tiles_y, max_chunks, interpret,
@@ -478,6 +514,6 @@ def rasterize_views(
         "render": img[..., :3],
         "render_object": obj_img,
         "final_transmittance": Tm,
-        "num_culled_pairs": jnp.sum(bins.num_culled_pairs),
+        "num_culled_pairs": jnp.sum(n_culled),
         "num_truncated_pairs": jnp.sum(n_dropped) + n_clipped,
     }

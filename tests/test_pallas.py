@@ -74,22 +74,35 @@ def test_pallas_empty_scene_is_background():
     )
 
 
-def test_written_coverage_mask_truncated_tiles():
-    """The bwd-grad mask must exclude truncated-chunk regions of tiles whose
-    pair count exceeds max_chunks*CHUNK (uninitialized HBM on compiled TPU),
-    not just the global tail."""
-    from gsattack.ops.pallas_blend import CHUNK, written_coverage_mask
+def test_bwd_zeroes_truncated_chunk_regions():
+    """Tiles whose pair count exceeds max_chunks*CHUNK must get ZERO
+    gradients in the truncated region (the kernel zero-DMAs those chunks;
+    unwritten they would be uninitialized HBM that scatter-adds garbage
+    into parameter grads on compiled TPU — compiled-mode coverage rides
+    bench.py --parity). The written region must carry real gradients."""
+    from gsattack.ops.pallas_blend import CHUNK, GEOM_W, pallas_blend_views
 
-    # tile 0: 3 chunks of pairs, tile 1: 1 chunk, max_chunks=2 -> tile 0's
-    # third chunk region must be uncovered.
-    tile_start = jnp.array([0, 3 * CHUNK], jnp.int32)
-    tile_end = jnp.array([3 * CHUNK - 5, 3 * CHUNK + 40], jnp.int32)
-    p_pad = 5 * CHUNK
-    m = np.asarray(written_coverage_mask(tile_start, tile_end, p_pad, 2))
-    assert m[: 2 * CHUNK].all()  # tile 0 written chunks
-    assert not m[2 * CHUNK : 3 * CHUNK].any()  # tile 0 truncated chunk
-    assert m[3 * CHUNK : 4 * CHUNK].all()  # tile 1's single chunk
-    assert not m[4 * CHUNK :].any()  # global tail
+    rng = np.random.default_rng(0)
+    p_pad = 4 * CHUNK
+    rows = GEOM_W + 8
+    packed = jnp.asarray(
+        rng.uniform(0.2, 0.8, size=(1, rows, p_pad)).astype(np.float32)
+    )
+    # center the splat means on the 16x16 tile so alphas are live
+    packed = packed.at[0, 0].set(8.0).at[0, 1].set(8.0)
+    packed = packed.at[0, 2].set(0.05).at[0, 3].set(0.0).at[0, 4].set(0.05)
+    tile_start = jnp.array([[0]], jnp.int32)
+    tile_end = jnp.array([[3 * CHUNK - 5]], jnp.int32)  # 3 chunks of pairs
+
+    def f(pk):
+        out = pallas_blend_views(
+            pk, tile_start, tile_end, 1, 1, max_chunks=2, interpret=True
+        )
+        return jnp.sum(out[:, :, : rows - GEOM_W, :])
+
+    g = np.asarray(jax.grad(f)(packed))[0]
+    assert np.abs(g[:, :CHUNK]).max() > 0  # written chunk has gradients
+    assert (g[:, 2 * CHUNK : 3 * CHUNK] == 0).all()  # truncated chunk zeroed
 
 
 def test_pallas_budget_paths():

@@ -194,3 +194,17 @@ def test_sharded_pallas_grads_match_unsharded():
         r, q = np.asarray(g0[k]), np.asarray(g1[k])
         s = max(np.abs(r).max(), 1e-9)
         np.testing.assert_allclose(q, r, atol=5e-5 * s, err_msg=k)
+
+
+def test_initialize_distributed_validation():
+    from gsattack.parallel.mesh import initialize_distributed
+
+    with pytest.raises(ValueError, match="given together"):
+        initialize_distributed(coordinator_address="127.0.0.1:1234")
+    with pytest.raises(ValueError, match="out of range"):
+        initialize_distributed("127.0.0.1:1234", 2, 5)
+    with pytest.raises(RuntimeError, match="expected 99"):
+        initialize_distributed(expect_devices=99)
+    info = initialize_distributed()
+    assert info["num_processes"] == 1
+    assert info["devices"] == 8  # the virtual CPU mesh
