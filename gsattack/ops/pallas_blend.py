@@ -21,12 +21,12 @@ Alpha saturation matches the reference CUDA blend exactly (0.99 clamp,
 1/255 skip, positive-power skip, 1e-4 transmittance stop); parity is tested
 against the oracle-validated XLA path.
 
-The backward kernel replays the forward per tile (storing chunk-boundary
-transmittance/done flags in VMEM) then walks chunks back-to-front
-maintaining the suffix accumulator S_i = sum_{j>i} w_j (c_j . gC) — the
-standard 3DGS backward — emitting per-pair gradients in the same packed
-layout; the caller's (differentiable) scatter transpose routes them back
-to the gaussians.
+The forward saves the chunk-boundary transmittance record (done flag in
+the sign bit; ~1KB per occupied chunk) so the backward needs NO replay: it
+walks chunks back-to-front maintaining the suffix accumulator
+S_i = sum_{j>i} w_j (c_j . gC) — the standard 3DGS backward — emitting
+per-pair gradients in the same packed layout; the caller's
+(differentiable) scatter transpose routes them back to the gaussians.
 """
 
 from __future__ import annotations
@@ -120,7 +120,7 @@ def _valid_row(base, e):
 
 
 def _fwd_kernel(
-    starts_ref, ends_ref, packed_hbm, out_ref, packed_s, sem,
+    starts_ref, ends_ref, packed_hbm, out_ref, tchk_out, packed_s, sem,
     *, n_ch: int, tiles_x: int, max_chunks: int, early_exit: bool = True,
 ):
     # grid = (views, tiles): one launch blends a whole batch of views,
@@ -159,6 +159,10 @@ def _fwd_kernel(
         def _():
             dma(k + 1, jax.lax.rem(k + 1, 2)).start()
 
+        # Chunk-BOUNDARY state, saved for the backward (which walks the
+        # chunks in reverse and needs (T, done) entering each chunk): the
+        # done flag rides T's sign bit (T > 0 always).
+        tchk_out[0, 0, k] = (T * (1.0 - 2.0 * done))[:, 0]
         dma(k, slot).wait()
         base = pl.multiple_of(s + k * CHUNK, CHUNK)
         chunk_data = packed_s[slot]
@@ -192,8 +196,8 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    starts_ref, ends_ref, packed_hbm, gout_ref, dpacked_hbm,
-    packed_s, tchk_ref, donechk_ref, dpacked_s, sem, osem,
+    starts_ref, ends_ref, packed_hbm, gout_ref, out_ref, tchk_ref,
+    dpacked_hbm, packed_s, dpacked_s, sem, osem,
     *, n_ch: int, tiles_x: int, max_chunks: int,
 ):
     v = pl.program_id(0)
@@ -210,36 +214,13 @@ def _bwd_kernel(
             sem.at[slot],
         )
 
-    # ---- phase 1: forward replay, store chunk-boundary T / done ----------
-    @pl.when(nchunks > 0)
-    def _():
-        dma_in(0, 0).start()
-
-    def fwd_body(k, state):
-        T, done = state
-        tchk_ref[k, :] = T[:, 0]
-        donechk_ref[k, :] = done[:, 0]
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(k + 1 < nchunks)
-        def _():
-            dma_in(k + 1, jax.lax.rem(k + 1, 2)).start()
-
-        dma_in(k, slot).wait()
-        base = pl.multiple_of(s + k * CHUNK, CHUNK)
-        alpha, _, _, _, _, _ = _chunk_alpha(
-            packed_s[slot][:GEOM_W], _valid_row(base, e), pxf, pyf
-        )
-        _, T, done, _, _ = _forward_chunk_blend(alpha, T, done)
-        return T, done
-
-    T0 = jnp.ones((P_PIX, 1), jnp.float32)
-    done0 = jnp.zeros((P_PIX, 1), jnp.float32)
-    T_final, _ = jax.lax.fori_loop(0, nchunks, fwd_body, (T0, done0))
-
-    # ---- phase 2: back-to-front gradient walk ----------------------------
+    # No forward replay: the forward saved the chunk-boundary (T, done)
+    # state (done in T's sign bit) and the final transmittance is the last
+    # channel row of the primal output — the backward goes straight into
+    # the back-to-front walk, roughly halving its chunk work.
     gC = gout_ref[0, 0][:n_ch, :]  # (CH, P)
     gT = gout_ref[0, 0][n_ch, :].reshape(P_PIX, 1)  # (P, 1)
+    T_final = out_ref[0, 0][n_ch, :].reshape(P_PIX, 1)
     gT_term = T_final * gT  # (P, 1)
 
     # phase 2 walks chunks descending: prefetch k-1 while computing k.
@@ -261,8 +242,9 @@ def _bwd_kernel(
         chunk_data = packed_s[slot]
         geom = chunk_data[:GEOM_W]
         col = chunk_data[GEOM_W:]
-        T_in = tchk_ref[k, :].reshape(P_PIX, 1)
-        done_in = donechk_ref[k, :].reshape(P_PIX, 1)
+        t_signed = tchk_ref[0, 0, k].reshape(P_PIX, 1)
+        T_in = jnp.abs(t_signed)
+        done_in = jnp.where(t_signed < 0.0, 1.0, 0.0)
         alpha, alpha_pre, clamped, dx, dy, power = _chunk_alpha(
             geom, _valid_row(base, e), pxf, pyf
         )
@@ -360,10 +342,11 @@ def pallas_blend_views(
     (the reference invokes its CUDA rasterizer once per view). Returns
     (V, num_tiles, CH+1, P_PIX): blended channels + final transmittance as
     the last channel row."""
-    return _fwd_impl(
+    out, _ = _fwd_impl(
         packed, tile_start, tile_end, tiles_x, tiles_y,
         max_chunks, interpret, early_exit,
     )
+    return out
 
 
 def pallas_blend(packed, tile_start, tile_end, tiles_x, tiles_y,
@@ -378,6 +361,9 @@ def pallas_blend(packed, tile_start, tile_end, tiles_x, tiles_y,
 
 def _fwd_impl(packed, tile_start, tile_end, tiles_x, tiles_y,
               max_chunks, interpret, early_exit=True):
+    """Returns (out, tchk): the blended output and the chunk-boundary
+    transmittance record ((V, T, max_chunks, P_PIX), done flag in the sign
+    bit) that lets the backward skip its forward replay."""
     num_tiles = tiles_x * tiles_y
     v, rows, _ = packed.shape
     n_ch = rows - GEOM_W
@@ -389,10 +375,16 @@ def _fwd_impl(packed, tile_start, tile_end, tiles_x, tiles_y,
         num_scalar_prefetch=2,
         grid=(v, num_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, 1, n_ch + 1, P_PIX), lambda vi, i, s, e: (vi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, n_ch + 1, P_PIX), lambda vi, i, s, e: (vi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, max_chunks, P_PIX), lambda vi, i, s, e: (vi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -400,9 +392,10 @@ def _fwd_impl(packed, tile_start, tile_end, tiles_x, tiles_y,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(
-            (v, num_tiles, n_ch + 1, P_PIX), jnp.float32
-        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((v, num_tiles, n_ch + 1, P_PIX), jnp.float32),
+            jax.ShapeDtypeStruct((v, num_tiles, max_chunks, P_PIX), jnp.float32),
+        ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_start, tile_end, packed)
@@ -410,36 +403,37 @@ def _fwd_impl(packed, tile_start, tile_end, tiles_x, tiles_y,
 
 def _blend_fwd(packed, tile_start, tile_end, tiles_x,
                tiles_y, max_chunks, interpret, early_exit):
-    out = _fwd_impl(
+    out, tchk = _fwd_impl(
         packed, tile_start, tile_end, tiles_x, tiles_y,
         max_chunks, interpret, early_exit,
     )
-    return out, (packed, tile_start, tile_end)
+    return out, (packed, tile_start, tile_end, out, tchk)
 
 
 def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
-    packed, tile_start, tile_end = res
+    packed, tile_start, tile_end, out, tchk = res
     num_tiles = tiles_x * tiles_y
     v, rows, _ = packed.shape
     n_ch = rows - GEOM_W
     kernel = functools.partial(
         _bwd_kernel, n_ch=n_ch, tiles_x=tiles_x, max_chunks=max_chunks
     )
+    blk = lambda rows_: pl.BlockSpec(
+        (1, 1, rows_, P_PIX), lambda vi, i, s, e: (vi, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(v, num_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(
-                (1, 1, n_ch + 1, P_PIX), lambda vi, i, s, e: (vi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            blk(n_ch + 1),   # g_out
+            blk(n_ch + 1),   # primal out (final transmittance row)
+            blk(max_chunks), # chunk-boundary T/done record
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
-            pltpu.VMEM((max_chunks, P_PIX), jnp.float32),
-            pltpu.VMEM((max_chunks, P_PIX), jnp.float32),
             pltpu.VMEM((rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
@@ -451,7 +445,7 @@ def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_end, packed, g_out)
+    )(tile_start, tile_end, packed, g_out, out, tchk)
     # Every slot the kernel leaves unwritten is safe by construction: the
     # bwd kernel zeroes truncated chunks of overloaded tiles itself, and
     # all remaining unwritten slots (inter-tile padding, the global tail)

@@ -152,7 +152,14 @@ def project(
     else:
         deg = scene.active_sh_degree if sh_degree is None else sh_degree
         dirs = xyz - camera.cam_center[None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        # Double-where guard: a (dead/padded) point exactly at the camera
+        # center has dirs == 0, where the norm's gradient is 0/0 — the raw
+        # normalize would leak NaN into every xyz gradient via where's
+        # chain rule even though the point is culled downstream.
+        n2 = jnp.sum(dirs * dirs, axis=-1, keepdims=True)
+        safe = n2 > 1e-18
+        inv = 1.0 / jnp.sqrt(jnp.where(safe, n2, 1.0))
+        dirs = jnp.where(safe, dirs * inv, 0.0)
         # features: (N, K, 3) -> channel-major (N, 3, K) for eval_sh
         shs = jnp.swapaxes(scene.features, -1, -2)
         color = shlib.sh_to_rgb(deg, shs, dirs)
