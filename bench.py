@@ -205,6 +205,79 @@ def bench_fwd_bwd_views(scene, cam, iters: int, pairs: int, max_chunks: int,
     return mpix
 
 
+def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
+                 pairs_budget: int, with_objects: bool):
+    """Per-stage timing of the pallas pipeline (fwd+bwd where meaningful):
+    projection, binning+sort, pack, blend kernel. Guides optimization."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsattack.ops.pallas_blend import GEOM_W, pack_pairs, pallas_blend_views
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import TILE, bin_gaussians
+
+    params = scene.params()
+    tiles_x = (cam.width + TILE - 1) // TILE
+    tiles_y = (cam.height + TILE - 1) // TILE
+
+    def timed(name, fn, *args):
+        out = jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters * 1e3
+        log(f"stage {name}: {dt:.2f} ms")
+        return out, dt
+
+    # projection fwd+bwd
+    def proj_loss(p):
+        pr = project(scene.with_params(p), cam)
+        return jnp.sum(pr.mean2d * 1e-6) + jnp.sum(pr.color * 1e-6)
+
+    timed("project fwd+bwd", jax.jit(jax.grad(proj_loss)), params)
+
+    proj = jax.block_until_ready(jax.jit(
+        lambda p: project(scene.with_params(p), cam))(params))
+
+    def bins_fn(m, d, r):
+        b = bin_gaussians(m, d, r, cam.width, cam.height, pairs)
+        return b.gauss_idx, b.tile_start, b.tile_end
+
+    (gidx, ts, te), _ = timed(
+        "bin+sort", jax.jit(bins_fn), proj.mean2d, proj.depth, proj.radius
+    )
+
+    channels = (
+        jnp.concatenate([proj.color, proj.obj], axis=-1)
+        if with_objects else proj.color
+    )
+    geom = jnp.concatenate(
+        [proj.mean2d, proj.conic, proj.opacity[:, None],
+         jnp.zeros((proj.mean2d.shape[0], GEOM_W - 6), jnp.float32)], axis=-1,
+    )
+
+    def pack_loss(g, c):
+        pk, ps, pe, _, _ = pack_pairs(g, c, gidx, ts, te, budget=pairs_budget)
+        return jnp.sum(pk * 1e-6), (pk, ps, pe)
+
+    grad_pack = jax.jit(jax.grad(lambda g, c: pack_loss(g, c)[0], argnums=(0, 1)))
+    timed("pack fwd+bwd", grad_pack, geom, channels)
+    packed, ps, pe = jax.jit(lambda g, c: pack_loss(g, c)[1])(geom, channels)
+
+    def blend_loss(pk):
+        out = pallas_blend_views(
+            pk[None], ps[None], pe[None], tiles_x, tiles_y, max_chunks, False
+        )
+        return jnp.sum(out * 1e-6)
+
+    timed("blend fwd", jax.jit(
+        lambda pk: pallas_blend_views(
+            pk[None], ps[None], pe[None], tiles_x, tiles_y, max_chunks, False
+        )), packed)
+    timed("blend fwd+bwd", jax.jit(jax.grad(blend_loss)), packed)
+
+
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
               backend: str = "xla", batch: int = 2, pairs_budget: int = 0,
               use_mesh: bool = False):
@@ -320,7 +393,7 @@ def main():
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--pairs-budget", type=int, default=-1, help="-1: auto (4*n_points, pallas only)")
     ap.add_argument("--mode", default="raster",
-                    choices=["raster", "raster-views", "pgd"])
+                    choices=["raster", "raster-views", "pgd", "stages"])
     ap.add_argument("--views", type=int, default=2)
     ap.add_argument("--objects", action="store_true", help="blend the 16 grouping channels too")
     ap.add_argument("--mesh", action="store_true", help="shard PGD over a (views, splats) mesh (multi-device)")
@@ -372,6 +445,14 @@ def main():
                 }
             )
         )
+        return
+    if args.mode == "stages":
+        bench_stages(
+            scene, cam, args.iters, args.pairs, args.max_chunks, budget,
+            args.objects,
+        )
+        print(json.dumps({"metric": "stages", "value": 0, "unit": "ms",
+                          "vs_baseline": 1.0}))
         return
     if args.mode == "raster-views":
         mpix = bench_fwd_bwd_views(
