@@ -100,7 +100,7 @@ def _forward_chunk_blend(alpha, T_in, done_in):
     t_incl = T_in * jnp.exp(cum_incl)
     frozen = (t_incl < T_EPS) | (done_in > 0.5)
     alpha_eff = jnp.where(frozen, 0.0, alpha)
-    lg_eff = jnp.log1p(-alpha_eff)
+    lg_eff = jnp.where(frozen, 0.0, lg)  # log1p(-0) == 0: reuse, don't recompute
     cum_exc = jnp.dot(lg_eff, _tri_lanes(k, True),
                       preferred_element_type=jnp.float32, precision=_HIGH)
     t_exc = T_in * jnp.exp(cum_exc)
@@ -463,11 +463,14 @@ def pack_pairs(
     gauss_idx: jnp.ndarray,  # (P,) sorted pair -> gaussian index
     tile_start: jnp.ndarray,  # (num_tiles,) offsets into the sorted pairs
     tile_end: jnp.ndarray,
-    budget: int = 0,  # static cap on packed pairs (0 = no cap). The raw
-    # pair list is N * pairs_per_gaussian with invalid entries sorted to
-    # the tail; typically only a small fraction is valid, so capping the
-    # packed layout at e.g. 4N removes most of the pack bandwidth. Tiles
-    # past the budget are dropped (counted by the caller via tile_end).
+    budget: int = 0,  # static capacity of the packed layout in SLOTS,
+    # including each tile's round-up-to-CHUNK padding (0 = no cap: capacity
+    # is len(gauss_idx) + num_tiles * CHUNK). The raw pair list is
+    # N * pairs_per_gaussian with invalid entries sorted to the tail and
+    # typically only a small fraction valid, so a measured capacity
+    # (ops/raster.py auto_pairs_budget) removes most of the pack work —
+    # every per-slot op below scales with the capacity. Tiles (or tile
+    # tails) past the capacity are dropped and counted.
 ):
     """Lay out the sorted pairs field-major with every tile's range padded
     to a CHUNK multiple (the DMA alignment quantum).
@@ -478,10 +481,19 @@ def pack_pairs(
     scatter along the lane axis was ~40x slower on TPU. Differentiable:
     the gather's transpose scatter-adds per-pair grads onto the gaussians.
 
+    The slot -> tile metadata (tile's packed start / packed end / first
+    sorted-pair index) is reconstructed with scatter-max + cummax
+    forward-fills instead of per-slot table gathers: all three scattered
+    values are nondecreasing in tile order, so the fill is exact, and on
+    TPU a cummax is a handful of log-shift passes while a P_pad-sized
+    gather is latency-bound per row (~3ms per 500k lookups — the fills
+    cut the composed pack from ~16ms to the gather-limited floor).
+
     Returns (packed (GEOM_W + CH_pad, P_pad), packed_start, packed_end,
     ch_pad, num_budget_dropped): the last is a () int32 count of valid
-    pairs silently dropped by the budget clamp — a nonzero value means the
-    image is missing whole tiles' tails and the budget must be raised."""
+    pairs silently dropped by the capacity clamp — a nonzero value means
+    the image is missing whole tiles' tails and the budget must be
+    raised."""
     n = geom_all.shape[0]
     p = gauss_idx.shape[0]
     num_tiles = tile_start.shape[0]
@@ -492,34 +504,37 @@ def pack_pairs(
         channels = jnp.concatenate(
             [channels, jnp.zeros((n, ch_pad - ch), channels.dtype)], axis=1
         )
-    num_budget_dropped = jnp.zeros((), jnp.int32)
-    if budget and budget < p:
-        pre_total = jnp.sum(tile_end - tile_start)
-        p = budget
-        gauss_idx = gauss_idx[:p]
-        tile_start = jnp.minimum(tile_start, p)
-        tile_end = jnp.minimum(tile_end, p)
-        num_budget_dropped = (
-            pre_total - jnp.sum(tile_end - tile_start)
-        ).astype(jnp.int32)
     counts = (tile_end - tile_start).astype(jnp.int32)
     padded = ((counts + CHUNK - 1) // CHUNK) * CHUNK
-    packed_start = jnp.concatenate(
+    start_raw = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
     )
-    packed_end = packed_start + counts
-    p_pad = p + num_tiles * CHUNK  # static upper bound on packed length
+    if budget:
+        # DMA alignment: every in-capacity tile start stays 128-aligned iff
+        # the capacity itself is a CHUNK multiple.
+        p_pad = ((budget + CHUNK - 1) // CHUNK) * CHUNK
+    else:
+        p_pad = p + num_tiles * CHUNK
+    packed_start = jnp.minimum(start_raw, p_pad)
+    packed_end = jnp.minimum(start_raw + counts, p_pad)
+    num_budget_dropped = (
+        jnp.sum(counts) - jnp.sum(packed_end - packed_start)
+    ).astype(jnp.int32)
 
     q = jnp.arange(p_pad, dtype=jnp.int32)
-    # tile-of-slot via scatter-marks + cumsum: jnp.searchsorted lowers to a
-    # sequential binary-search loop on TPU (~170ms at this size); marking
-    # each tile's packed start and prefix-summing is pure bandwidth.
-    marks = jnp.zeros(p_pad + 1, jnp.int32).at[packed_start].add(1)
-    t_of_q = (jnp.cumsum(marks[:p_pad]) - 1).astype(jnp.int32)
-    t_of_q = jnp.clip(t_of_q, 0, num_tiles - 1)
-    off = q - packed_start[t_of_q]
-    valid_q = off < counts[t_of_q]
-    p_of_q = jnp.where(valid_q, tile_start[t_of_q] + off, p)
+
+    def fill(vals):
+        # Scatter each tile's value at its packed start (out-of-capacity
+        # starts == p_pad are dropped by the default OOB-scatter rule),
+        # then forward-fill: nondecreasing values make cummax exact.
+        z = jnp.zeros(p_pad, jnp.int32).at[packed_start].max(vals)
+        return jax.lax.cummax(z)
+
+    start_of_q = fill(packed_start)  # slot -> its tile's packed start
+    end_of_q = fill(packed_end)  # slot -> its tile's packed end
+    src0_of_q = fill(tile_start.astype(jnp.int32))  # -> first sorted pair
+    valid_q = q < end_of_q
+    p_of_q = jnp.where(valid_q, src0_of_q + (q - start_of_q), p)
     # compose with the pair -> gaussian map; padding slots hit gaussian n
     gidx_pad = jnp.concatenate([gauss_idx, jnp.full((1,), n, jnp.int32)])
     src_gauss = gidx_pad[p_of_q]  # (P_pad,)

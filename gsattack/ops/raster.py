@@ -133,16 +133,19 @@ def auto_pairs_budget(
     pairs_per_gaussian: int = 32,
     margin: float = 1.25,
 ) -> int:
-    """Size `pairs_budget` from the actual binned pair count of one view
-    (margin headroom, rounded to the DMA chunk quantum). Host-side helper —
-    runs one binning pass; call once at setup, not inside jit."""
+    """Size `pairs_budget` (the packed-layout SLOT capacity, including each
+    tile's round-up-to-CHUNK padding — pack_pairs semantics) from the
+    actual binned pair counts of one view (margin headroom, rounded to the
+    DMA chunk quantum). Host-side helper — runs one binning pass; call once
+    at setup, not inside jit."""
     from .pallas_blend import CHUNK
 
     bins = bin_gaussians(
         proj.mean2d, proj.depth, proj.radius, width, height, pairs_per_gaussian
     )
-    valid = int(jnp.sum(bins.tile_end - bins.tile_start))
-    budget = int(valid * margin) + CHUNK
+    counts = bins.tile_end - bins.tile_start
+    padded_total = int(jnp.sum((counts + CHUNK - 1) // CHUNK) * CHUNK)
+    budget = int(padded_total * margin) + CHUNK
     return ((budget + CHUNK - 1) // CHUNK) * CHUNK
 
 
