@@ -386,7 +386,8 @@ def main():
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--sh-degree", type=int, default=3)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--pairs", type=int, default=16)
+    ap.add_argument("--pairs", type=int, default=-1,
+                    help="-1: auto (measured max tile footprint)")
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--max-chunks", type=int, default=16)
     ap.add_argument("--forward-only", action="store_true")
@@ -415,20 +416,26 @@ def main():
     log(f"devices: {jax.devices()}")
     scene, cam = build_problem(args.n_points, args.width, args.height, args.sh_degree)
     log(f"scene: {scene.num_points} splats, SH{args.sh_degree}, {args.width}x{args.height}")
+    if args.pairs < 0 or (args.pairs_budget < 0 and args.backend == "pallas"):
+        from gsattack.ops.project import project
+        from gsattack.ops.raster import auto_pairs_budget, auto_pairs_per_gaussian
+
+        proj0 = project(scene, cam)
+    if args.pairs < 0:
+        # Auto-size the static per-gaussian pair cap: the raw pair list is
+        # N * pairs feeding the global sort, so slack is sort bandwidth.
+        args.pairs = auto_pairs_per_gaussian(proj0, args.width, args.height)
     budget = args.pairs_budget
     if budget < 0 and args.backend == "pallas":
-        # Auto-size from the real binned pair count (r1 ran a 400k budget
-        # against 193k valid pairs — the pack gather is latency-bound per
-        # row, so the oversize budget cost ~2x pack time for nothing).
-        from gsattack.ops.project import project
-        from gsattack.ops.raster import auto_pairs_budget
-
+        # Auto-size the packed capacity from the real padded pair total
+        # (r1 ran a 561k-slot layout against ~330k needed — every per-slot
+        # pack op scales with the capacity).
         budget = auto_pairs_budget(
-            project(scene, cam), args.width, args.height, args.pairs
+            proj0, args.width, args.height, args.pairs
         )
     elif budget < 0:
         budget = 0
-    log(f"backend={args.backend} pairs_budget={budget}")
+    log(f"backend={args.backend} pairs={args.pairs} pairs_budget={budget}")
 
     if args.mode == "pgd":
         ips = bench_pgd(

@@ -209,21 +209,31 @@ def run_dagger(
     )
     black = jnp.zeros(3, jnp.float32)
 
-    # Auto-size the pallas pairs budget from the real binned pair count
-    # (pairs_budget=-1): too-small budgets silently drop tile tails, so
-    # measure instead of guessing.
-    if cfg.pairs_budget < 0:
+    # Auto-size the static pair caps from the real binned geometry
+    # (value -1): too-small caps silently drop pairs and oversize caps are
+    # pure sort/pack bandwidth, so measure instead of guessing. Max over
+    # all attack cameras -> one compile.
+    if cfg.pairs_per_gaussian < 0 or cfg.pairs_budget < 0:
         from ..ops.project import project
-        from ..ops.raster import auto_pairs_budget
+        from ..ops.raster import auto_pairs_budget, auto_pairs_per_gaussian
 
-        budget = max(
-            auto_pairs_budget(
-                project(scene, c), c.width, c.height, cfg.pairs_per_gaussian
+        projs = [(project(scene, c), c) for c in built]
+        if cfg.pairs_per_gaussian < 0:
+            pairs = max(
+                auto_pairs_per_gaussian(p, c.width, c.height)
+                for p, c in projs
             )
-            for c in built
-        )
-        cfg = dataclasses.replace(cfg, pairs_budget=budget)
-        log(f"[Info] Auto-sized pairs_budget = {budget}")
+            cfg = dataclasses.replace(cfg, pairs_per_gaussian=pairs)
+            log(f"[Info] Auto-sized pairs_per_gaussian = {pairs}")
+        if cfg.pairs_budget < 0:
+            budget = max(
+                auto_pairs_budget(
+                    p, c.width, c.height, cfg.pairs_per_gaussian
+                )
+                for p, c in projs
+            )
+            cfg = dataclasses.replace(cfg, pairs_budget=budget)
+            log(f"[Info] Auto-sized pairs_budget = {budget}")
 
     # ---- benign pass: silhouette GT boxes on black bg (attack.py:433-461)
     @jax.jit

@@ -149,6 +149,31 @@ def auto_pairs_budget(
     return ((budget + CHUNK - 1) // CHUNK) * CHUNK
 
 
+def auto_pairs_per_gaussian(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    quantum: int = 4,
+    floor: int = 4,
+) -> int:
+    """Size the static per-gaussian pair capacity from the view's actual
+    max tile footprint (rounded up to `quantum`). The raw pair list is
+    N * pairs_per_gaussian and feeds the global sort, so an oversized cap
+    is pure sort bandwidth: the bench scene needs 12 where the default of
+    16 sorts 33% more keys. Host-side helper; call once at setup (a new
+    value recompiles, so callers should take the max over their cameras)."""
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    rmin_x, rmax_x, rmin_y, rmax_y = _tile_rect(
+        proj.mean2d, proj.radius, tiles_x, tiles_y
+    )
+    touched = jnp.where(
+        proj.radius > 0, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0
+    )
+    m = max(int(jnp.max(touched)), floor)
+    return ((m + quantum - 1) // quantum) * quantum
+
+
 def _blend_tiles(
     bins: TileBins,
     mean2d: jnp.ndarray,
