@@ -240,12 +240,14 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
     proj = jax.block_until_ready(jax.jit(
         lambda p: project(scene.with_params(p), cam))(params))
 
-    def bins_fn(m, d, r):
-        b = bin_gaussians(m, d, r, cam.width, cam.height, pairs)
+    def bins_fn(m, d, r, con, op):
+        b = bin_gaussians(m, d, r, cam.width, cam.height, pairs,
+                          conic=con, opacity=op)
         return b.gauss_idx, b.tile_start, b.tile_end
 
     (gidx, ts, te), _ = timed(
-        "bin+sort", jax.jit(bins_fn), proj.mean2d, proj.depth, proj.radius
+        "bin+sort", jax.jit(bins_fn), proj.mean2d, proj.depth,
+        proj.radius_tight, proj.conic, proj.opacity,
     )
 
     channels = (

@@ -38,6 +38,12 @@ class ProjectedGaussians(NamedTuple):
     color: jnp.ndarray  # (N, 3) RGB from SH (or override)
     obj: jnp.ndarray  # (N, C_obj) object features
     opacity: jnp.ndarray  # (N,) activated opacity
+    # Opacity-aware binning radius (float, <= radius): beyond
+    # r_t = sqrt(2 ln(255 op) lambda1) every pixel fails the blend's
+    # alpha >= 1/255 skip, so tiles outside it contribute exactly nothing.
+    # Only the pair BINNING consumes this; `radius`/`visibility_filter`
+    # keep the reference's 3-sigma semantics.
+    radius_tight: jnp.ndarray  # (N,) float32 (0 = culled)
 
 
 def compute_cov2d(
@@ -145,6 +151,20 @@ def project(
     visible = in_front & det_ok & scene.alive
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 
+    # Tight binning radius (gsplat-style opacity-aware cutoff): alpha along
+    # the worst (major-eigenvector) direction is op*exp(-d^2/(2 lambda1)),
+    # which crosses the blend's 1/255 skip at d^2 = 2 lambda1 ln(255 op).
+    # min with the reference 3-sigma radius keeps its truncation semantics;
+    # op <= 1/255 never survives the skip anywhere -> radius_tight = 0.
+    opacity_act = scene.opacity[:, 0]
+    q_cut = 2.0 * jnp.log(jnp.maximum(opacity_act * 255.0, 1e-6))
+    r_tight = jnp.sqrt(jnp.maximum(q_cut, 0.0) * jnp.maximum(lambda1, 0.0))
+    # +0.01px guard: f32 rounding at the exact alpha = 1/255 boundary must
+    # err toward keeping (the blend's own skip test decides those pixels).
+    radius_tight = jnp.where(
+        visible, jnp.minimum(radius_f, r_tight + 0.01), 0.0
+    )
+
     # Color: SH evaluated at per-point view directions (CUDA path semantics,
     # `gaussian_renderer/__init__.py:73-81`), or an override color.
     if override_color is not None:
@@ -167,7 +187,6 @@ def project(
     # Object features, blended like degree-0 SH (Gaussian-Grouping fork).
     obj = jnp.maximum(scene.obj_dc[:, 0, :] * shlib.C0 + 0.5, 0.0)
 
-    opacity = scene.opacity[:, 0]
     return ProjectedGaussians(
         mean2d=mean2d,
         depth=depth,
@@ -175,5 +194,6 @@ def project(
         radius=radius,
         color=color,
         obj=obj,
-        opacity=opacity,
+        opacity=opacity_act,
+        radius_tight=radius_tight,
     )

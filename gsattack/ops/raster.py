@@ -53,17 +53,53 @@ class TileBins(NamedTuple):
 
 
 def _tile_rect(mean2d, radius, tiles_x, tiles_y):
-    """Inria getRect: tile index ranges covered by the radius bbox."""
+    """Inria getRect: tile index ranges covered by the radius bbox.
+
+    NOTE: the CUDA original's `(v + TILE - 1) / TILE` ceil trick is only
+    correct for integer v; with float centers/radii it undercounts the max
+    tile when frac(v/TILE) < 1/TILE, so the exclusive bound is computed as
+    floor(v/TILE) + 1 (covers the last pixel center <= mean + r exactly)."""
     r = radius.astype(jnp.float32)
-    rmin_x = jnp.clip((mean2d[:, 0] - r) / TILE, 0, tiles_x).astype(jnp.int32)
-    rmax_x = jnp.clip((mean2d[:, 0] + r + TILE - 1) / TILE, 0, tiles_x).astype(
-        jnp.int32
-    )
-    rmin_y = jnp.clip((mean2d[:, 1] - r) / TILE, 0, tiles_y).astype(jnp.int32)
-    rmax_y = jnp.clip((mean2d[:, 1] + r + TILE - 1) / TILE, 0, tiles_y).astype(
-        jnp.int32
-    )
+    rmin_x = jnp.clip(
+        jnp.floor((mean2d[:, 0] - r) / TILE), 0, tiles_x
+    ).astype(jnp.int32)
+    rmax_x = jnp.clip(
+        jnp.floor((mean2d[:, 0] + r) / TILE) + 1, 0, tiles_x
+    ).astype(jnp.int32)
+    rmin_y = jnp.clip(
+        jnp.floor((mean2d[:, 1] - r) / TILE), 0, tiles_y
+    ).astype(jnp.int32)
+    rmax_y = jnp.clip(
+        jnp.floor((mean2d[:, 1] + r) / TILE) + 1, 0, tiles_y
+    ).astype(jnp.int32)
     return rmin_x, rmax_x, rmin_y, rmax_y
+
+
+def _box_quad_min(a, b, c, lx, ux, ly, uy):
+    """Exact min of the PD quadratic q(d) = a dx^2 + 2b dx dy + c dy^2 over
+    the box [lx,ux] x [ly,uy]. Convexity: if the origin is inside, the min
+    is 0; otherwise it lies on one of the 4 edges, each a 1D quadratic
+    whose clamped vertex is closed-form. All elementwise VPU math."""
+    inside = (lx <= 0.0) & (ux >= 0.0) & (ly <= 0.0) & (uy >= 0.0)
+    c_s = jnp.maximum(c, 1e-12)
+    a_s = jnp.maximum(a, 1e-12)
+
+    def q(x, y):
+        return a * x * x + 2.0 * b * x * y + c * y * y
+
+    def edge_x(x):  # dx fixed, dy free
+        y = jnp.clip(-b * x / c_s, ly, uy)
+        return q(x, y)
+
+    def edge_y(y):  # dy fixed, dx free
+        x = jnp.clip(-b * y / a_s, lx, ux)
+        return q(x, y)
+
+    qe = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(ux)),
+        jnp.minimum(edge_y(ly), edge_y(uy)),
+    )
+    return jnp.where(inside, 0.0, qe)
 
 
 def bin_gaussians(
@@ -73,8 +109,19 @@ def bin_gaussians(
     width: int,
     height: int,
     pairs_per_gaussian: int = 32,
+    conic: jnp.ndarray | None = None,
+    opacity: jnp.ndarray | None = None,
 ) -> TileBins:
-    """Build depth-sorted per-tile index lists with static shapes."""
+    """Build depth-sorted per-tile index lists with static shapes.
+
+    `radius` is the binning radius — pass `proj.radius_tight` to get the
+    opacity-aware footprint (the reference bins the full 3-sigma rect;
+    tiles beyond the tight radius are exactly invisible, SURVEY §2.3 CUDA
+    `getRect`). With `conic`+`opacity` given, each candidate rect tile
+    additionally passes an EXACT ellipse test: the min of the Mahalanobis
+    form over the tile's pixel-center box must keep alpha >= 1/255
+    somewhere, else the tile's pairs are dropped (output-exact — the blend
+    skips those pixels anyway; kills the rect's corner/elongation waste)."""
     n = mean2d.shape[0]
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
@@ -90,6 +137,22 @@ def bin_gaussians(
     tx = rmin_x[:, None] + j % w_safe
     ty = rmin_y[:, None] + j // w_safe
     valid = j < touched[:, None]
+    if conic is not None and opacity is not None:
+        # Tile pixel centers span [t*TILE, t*TILE + TILE-1] in each axis.
+        lx = (tx * TILE).astype(jnp.float32) - mean2d[:, 0:1]
+        ly = (ty * TILE).astype(jnp.float32) - mean2d[:, 1:2]
+        qmin = _box_quad_min(
+            conic[:, 0:1], conic[:, 1:2], conic[:, 2:3],
+            lx, lx + (TILE - 1.0), ly, ly + (TILE - 1.0),
+        )
+        # alpha_max = op * exp(-qmin/2) >= 1/255  <=>  qmin <= 2 ln(255 op).
+        # +1e-3 slack: keep pixels within f32 rounding of the boundary (the
+        # blend's alpha test decides them; keeping is always safe).
+        q_cut = (
+            2.0 * jnp.log(jnp.maximum(opacity * 255.0, 1e-6)) + 1e-3
+        )[:, None]
+        pd = (conic[:, 0:1] > 0.0) & (conic[:, 2:3] > 0.0)
+        valid &= (qmin <= q_cut) | ~pd  # non-PD conic: keep (blend decides)
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
     # Single-key sort: pack (tile, depth) into one uint32 — the CUDA
@@ -141,7 +204,8 @@ def auto_pairs_budget(
     from .pallas_blend import CHUNK
 
     bins = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius, width, height, pairs_per_gaussian
+        proj.mean2d, proj.depth, proj.radius_tight, width, height,
+        pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
     )
     counts = bins.tile_end - bins.tile_start
     padded_total = int(jnp.sum((counts + CHUNK - 1) // CHUNK) * CHUNK)
@@ -165,10 +229,10 @@ def auto_pairs_per_gaussian(
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
     rmin_x, rmax_x, rmin_y, rmax_y = _tile_rect(
-        proj.mean2d, proj.radius, tiles_x, tiles_y
+        proj.mean2d, proj.radius_tight, tiles_x, tiles_y
     )
     touched = jnp.where(
-        proj.radius > 0, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0
+        proj.radius_tight > 0, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0
     )
     m = max(int(jnp.max(touched)), floor)
     return ((m + quantum - 1) // quantum) * quantum
@@ -378,7 +442,8 @@ def rasterize(
     overflow diagnostic).
     """
     bins = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius, width, height, pairs_per_gaussian
+        proj.mean2d, proj.depth, proj.radius_tight, width, height,
+        pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
     )
     channels = (
         jnp.concatenate([proj.color, proj.obj], axis=-1)
@@ -496,8 +561,9 @@ def rasterize_views(
     per_view = []
     for vi in range(v):
         bins = bin_gaussians(
-            proj.mean2d[vi], proj.depth[vi], proj.radius[vi], width, height,
-            pairs_per_gaussian,
+            proj.mean2d[vi], proj.depth[vi], proj.radius_tight[vi], width,
+            height, pairs_per_gaussian, conic=proj.conic[vi],
+            opacity=proj.opacity[vi],
         )
         per_view.append(
             pack_pairs(
