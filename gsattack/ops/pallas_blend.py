@@ -214,6 +214,13 @@ def _bwd_kernel(
             sem.at[slot],
         )
 
+    def dma_out(k, slot):
+        base = pl.multiple_of(s + k * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            dpacked_s.at[slot], dpacked_hbm.at[v, :, pl.ds(base, CHUNK)],
+            osem.at[slot],
+        )
+
     # No forward replay: the forward saved the chunk-boundary (T, done)
     # state (done in T's sign bit) and the final transmittance is the last
     # channel row of the primal output — the backward goes straight into
@@ -232,6 +239,14 @@ def _bwd_kernel(
         # S: (P, 1) suffix sum over later chunks of w * cg
         k = nchunks - 1 - kk
         slot = jax.lax.rem(k, 2)
+
+        # Double-buffered OUTPUT: before overwriting this iteration's
+        # dpacked slot, drain the copy issued from it two chunks ago
+        # (start-then-immediate-wait serialized ~1us of DMA latency per
+        # chunk across the whole grid).
+        @pl.when(kk >= 2)
+        def _():
+            dma_out(k + 2, slot).wait()
 
         @pl.when(k - 1 >= 0)
         def _():
@@ -289,16 +304,20 @@ def _bwd_kernel(
         dcol = jnp.dot(
             gC, w, preferred_element_type=jnp.float32, precision=_HIGH
         )
-        dpacked_s[:] = jnp.concatenate([dgeom, dcol], axis=0)
-
-        cp = pltpu.make_async_copy(
-            dpacked_s, dpacked_hbm.at[v, :, pl.ds(base, CHUNK)], osem
-        )
-        cp.start()
-        cp.wait()
+        dpacked_s[slot] = jnp.concatenate([dgeom, dcol], axis=0)
+        dma_out(k, slot).start()
         return S + jnp.sum(wcg, axis=1, keepdims=True)
 
     jax.lax.fori_loop(0, nchunks, bwd_body, jnp.zeros((P_PIX, 1), jnp.float32))
+
+    # Drain the last (up to two) outstanding output copies: chunks 1 and 0.
+    @pl.when(nchunks >= 2)
+    def _():
+        dma_out(1, 1).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        dma_out(0, 0).wait()
 
     # Tiles whose pair count exceeds max_chunks*CHUNK have truncated chunks
     # in [nchunks, padded_chunks) that the walk never writes — zero them in
@@ -312,13 +331,10 @@ def _bwd_kernel(
 
     @pl.when(padded_chunks > nchunks)
     def _():
-        dpacked_s[:] = jnp.zeros((dpacked_s.shape[0], CHUNK), jnp.float32)
+        dpacked_s[0] = jnp.zeros((dpacked_s.shape[1], CHUNK), jnp.float32)
 
     def zero_body(k, _):
-        base = pl.multiple_of(s + k * CHUNK, CHUNK)
-        cp = pltpu.make_async_copy(
-            dpacked_s, dpacked_hbm.at[v, :, pl.ds(base, CHUNK)], osem
-        )
+        cp = dma_out(k, 0)
         cp.start()
         cp.wait()
         return 0
@@ -434,9 +450,9 @@ def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
-            pltpu.VMEM((rows, CHUNK), jnp.float32),
+            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     dpacked = pl.pallas_call(
