@@ -55,7 +55,7 @@ def build_problem(n_points: int, width: int, height: int, sh_degree: int):
     return scene, cam
 
 
-def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False):
+def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False, rect: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,7 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
         out = render(
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
             max_chunks=max_chunks, backend=backend, pairs_budget=pairs_budget,
-            with_objects=with_objects,
+            with_objects=with_objects, rect_candidates=rect,
         )
         return jnp.mean((out["render"] - target) ** 2)
 
@@ -90,7 +90,7 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     return mpix
 
 
-def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False):
+def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False, rect: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -104,7 +104,7 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
         return render(
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
             max_chunks=max_chunks, backend=backend, pairs_budget=pairs_budget,
-            with_objects=with_objects,
+            with_objects=with_objects, rect_candidates=rect,
         )["render"]
 
     params = scene.params()
@@ -120,7 +120,7 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
 
 
 def check_parity(scene, cam, pairs, chunk, max_chunks, pairs_budget,
-                 with_objects):
+                 with_objects, rect: int = 0):
     """Compiled pallas vs XLA fwd + grads on the bench scene (VERDICT r2
     item 6): the driver loop runs this every round, so a Mosaic regression
     ships loudly instead of silently. Returns (max_rel_err, ok)."""
@@ -137,7 +137,7 @@ def check_parity(scene, cam, pairs, chunk, max_chunks, pairs_budget,
         out = render(
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
             max_chunks=max_chunks, backend=backend, pairs_budget=budget,
-            with_objects=with_objects,
+            with_objects=with_objects, rect_candidates=rect,
         )
         return jnp.mean((out["render"] - target) ** 2), out["render"]
 
@@ -161,7 +161,8 @@ def check_parity(scene, cam, pairs, chunk, max_chunks, pairs_budget,
 
 
 def bench_fwd_bwd_views(scene, cam, iters: int, pairs: int, max_chunks: int,
-                        views: int, pairs_budget: int, with_objects: bool):
+                        views: int, pairs_budget: int, with_objects: bool,
+                        rect: int = 0):
     """Multi-view batched fwd+bwd: ONE (views, tiles)-grid pallas launch
     per step — the amortized path DAGGER uses for its camera batches."""
     import jax
@@ -186,6 +187,7 @@ def bench_fwd_bwd_views(scene, cam, iters: int, pairs: int, max_chunks: int,
             proj, cam.width, cam.height, bg, pairs_per_gaussian=pairs,
             max_chunks=max_chunks, backend="pallas",
             pairs_budget=pairs_budget, with_objects=with_objects,
+            rect_candidates=rect,
         )
         return jnp.mean((out["render"] - target) ** 2)
 
@@ -205,8 +207,92 @@ def bench_fwd_bwd_views(scene, cam, iters: int, pairs: int, max_chunks: int,
     return mpix
 
 
+def bench_bisect(scene, cam, iters: int, pairs: int, max_chunks: int,
+                 pairs_budget: int, with_objects: bool, rect: int = 0):
+    """Cumulative-prefix timing of the REAL fwd+bwd pipeline from params:
+    unlike `stages` (isolated pieces fed device constants), each step here
+    jits a growing prefix of the actual loss graph, so consecutive deltas
+    include XLA's cross-stage fusion/scheduling — the numbers add up to
+    the end-to-end figure and localize glue costs `stages` cannot see."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsattack.ops.pallas_blend import GEOM_W, pack_pairs, pallas_blend_views
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import TILE, bin_gaussians, rasterize
+    from gsattack.render import render
+
+    params = scene.params()
+    tiles_x = (cam.width + TILE - 1) // TILE
+    tiles_y = (cam.height + TILE - 1) // TILE
+
+    def timed(name, fn):
+        jfn = jax.jit(fn)
+        out = jax.block_until_ready(jfn(params))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jfn(params)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters * 1e3
+        log(f"bisect {name}: {dt:.2f} ms")
+        return dt
+
+    def proj_of(p):
+        return project(scene.with_params(p), cam)
+
+    def bins_of(p):
+        pr = proj_of(p)
+        return pr, bin_gaussians(
+            pr.mean2d, pr.depth, pr.radius_tight, cam.width, cam.height,
+            pairs, conic=pr.conic, opacity=pr.opacity, rect_candidates=rect,
+        )
+
+    def packed_of(p):
+        pr, bins = bins_of(p)
+        channels = (
+            jnp.concatenate([pr.color, pr.obj], axis=-1)
+            if with_objects else pr.color
+        )
+        geom = jnp.concatenate(
+            [pr.mean2d, pr.conic, pr.opacity[:, None],
+             jnp.zeros((pr.mean2d.shape[0], GEOM_W - 6), jnp.float32)],
+            axis=-1,
+        )
+        return pack_pairs(
+            geom, channels, bins.gauss_idx, bins.tile_start, bins.tile_end,
+            budget=pairs_budget,
+        )
+
+    def blend_of(p):
+        pk, ps, pe, ch_pad, _ = packed_of(p)
+        return pallas_blend_views(
+            pk[None], ps[None], pe[None], tiles_x, tiles_y, max_chunks, False
+        )
+
+    def full_of(p):
+        out = render(
+            scene.with_params(p), cam, jnp.zeros(3), pairs_per_gaussian=pairs,
+            max_chunks=max_chunks, backend="pallas", pairs_budget=pairs_budget,
+            with_objects=with_objects, rect_candidates=rect,
+        )
+        return jnp.mean(out["render"] ** 2)
+
+    # forward-only prefixes
+    timed("fwd proj", lambda p: proj_of(p).mean2d)
+    timed("fwd +bins", lambda p: bins_of(p)[1].gauss_idx)
+    timed("fwd +pack", lambda p: packed_of(p)[0])
+    timed("fwd +blend", blend_of)
+    timed("fwd full(loss)", full_of)
+    # fwd+bwd prefixes (grad via mean-of-output cotangent)
+    timed("f+b proj", jax.grad(lambda p: jnp.mean(proj_of(p).mean2d)
+                               + jnp.mean(proj_of(p).color)))
+    timed("f+b +pack", jax.grad(lambda p: jnp.mean(packed_of(p)[0])))
+    timed("f+b +blend", jax.grad(lambda p: jnp.mean(blend_of(p))))
+    timed("f+b full", jax.grad(full_of))
+
+
 def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
-                 pairs_budget: int, with_objects: bool):
+                 pairs_budget: int, with_objects: bool, rect: int = 0):
     """Per-stage timing of the pallas pipeline (fwd+bwd where meaningful):
     projection, binning+sort, pack, blend kernel. Guides optimization."""
     import jax
@@ -242,7 +328,7 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
 
     def bins_fn(m, d, r, con, op):
         b = bin_gaussians(m, d, r, cam.width, cam.height, pairs,
-                          conic=con, opacity=op)
+                          conic=con, opacity=op, rect_candidates=rect)
         return b.gauss_idx, b.tile_start, b.tile_end
 
     (gidx, ts, te), _ = timed(
@@ -282,7 +368,7 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
 
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
               backend: str = "xla", batch: int = 2, pairs_budget: int = 0,
-              use_mesh: bool = False):
+              use_mesh: bool = False, rect: int = 0):
     """End-to-end DAGGER PGD iterations/s: batched multi-view render ->
     detector loss -> grads -> color-l2 step (the BASELINE.md attack-speed
     metric), with the toy conv detector as the frozen scoring head."""
@@ -354,7 +440,7 @@ def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
             )
         else:
             imgs = render_views(sc, cams, bg, pairs, max_chunks, backend,
-                                pairs_budget)
+                                pairs_budget, rect)
         return det.loss(imgs, 2, bboxes)
 
     @jax.jit
@@ -390,13 +476,17 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--pairs", type=int, default=-1,
                     help="-1: auto (measured max tile footprint)")
+    ap.add_argument("--rect", type=int, default=-1,
+                    help="rect_candidates for row compaction; -1: auto "
+                         "(measured), 0: disabled")
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--max-chunks", type=int, default=16)
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--pairs-budget", type=int, default=-1, help="-1: auto (4*n_points, pallas only)")
     ap.add_argument("--mode", default="raster",
-                    choices=["raster", "raster-views", "pgd", "stages"])
+                    choices=["raster", "raster-views", "pgd", "stages",
+                             "bisect"])
     ap.add_argument("--views", type=int, default=2)
     ap.add_argument("--objects", action="store_true", help="blend the 16 grouping channels too")
     ap.add_argument("--mesh", action="store_true", help="shard PGD over a (views, splats) mesh (multi-device)")
@@ -418,15 +508,28 @@ def main():
     log(f"devices: {jax.devices()}")
     scene, cam = build_problem(args.n_points, args.width, args.height, args.sh_degree)
     log(f"scene: {scene.num_points} splats, SH{args.sh_degree}, {args.width}x{args.height}")
-    if args.pairs < 0 or (args.pairs_budget < 0 and args.backend == "pallas"):
+    if args.pairs < 0 or args.rect < 0 or (
+        args.pairs_budget < 0 and args.backend == "pallas"
+    ):
         from gsattack.ops.project import project
-        from gsattack.ops.raster import auto_pairs_budget, auto_pairs_per_gaussian
+        from gsattack.ops.raster import (
+            auto_pair_caps, auto_pairs_budget, auto_pairs_per_gaussian,
+        )
 
         proj0 = project(scene, cam)
-    if args.pairs < 0:
+    if args.pairs < 0 and args.rect < 0:
+        # Auto-size BOTH static caps: the rect enumeration capacity
+        # (max tile footprint) and the post-ellipse-test survivor cap that
+        # actually feeds the N*pairs global sort (row compaction).
+        args.pairs, args.rect = auto_pair_caps(proj0, args.width, args.height)
+        if args.rect <= args.pairs:
+            args.rect = 0  # compaction can't shrink anything
+    elif args.pairs < 0:
         # Auto-size the static per-gaussian pair cap: the raw pair list is
         # N * pairs feeding the global sort, so slack is sort bandwidth.
         args.pairs = auto_pairs_per_gaussian(proj0, args.width, args.height)
+    if args.rect < 0:
+        args.rect = 0
     budget = args.pairs_budget
     if budget < 0 and args.backend == "pallas":
         # Auto-size the packed capacity from the real padded pair total
@@ -437,12 +540,13 @@ def main():
         )
     elif budget < 0:
         budget = 0
-    log(f"backend={args.backend} pairs={args.pairs} pairs_budget={budget}")
+    log(f"backend={args.backend} pairs={args.pairs} rect={args.rect} "
+        f"pairs_budget={budget}")
 
     if args.mode == "pgd":
         ips = bench_pgd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, args.views, budget, args.mesh,
+            args.backend, args.views, budget, args.mesh, args.rect,
         )
         print(
             json.dumps(
@@ -458,27 +562,35 @@ def main():
     if args.mode == "stages":
         bench_stages(
             scene, cam, args.iters, args.pairs, args.max_chunks, budget,
-            args.objects,
+            args.objects, args.rect,
         )
         print(json.dumps({"metric": "stages", "value": 0, "unit": "ms",
+                          "vs_baseline": 1.0}))
+        return
+    if args.mode == "bisect":
+        bench_bisect(
+            scene, cam, args.iters, args.pairs, args.max_chunks, budget,
+            args.objects, args.rect,
+        )
+        print(json.dumps({"metric": "bisect", "value": 0, "unit": "ms",
                           "vs_baseline": 1.0}))
         return
     if args.mode == "raster-views":
         mpix = bench_fwd_bwd_views(
             scene, cam, args.iters, args.pairs, args.max_chunks, args.views,
-            budget, args.objects,
+            budget, args.objects, args.rect,
         )
         metric = "fwd_bwd_views_mpix_per_s"
     elif args.forward_only:
         mpix = bench_forward(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, budget, args.objects,
+            args.backend, budget, args.objects, args.rect,
         )
         metric = "fwd_mpix_per_s"
     else:
         mpix = bench_fwd_bwd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, budget, args.objects,
+            args.backend, budget, args.objects, args.rect,
         )
         metric = "fwd_bwd_mpix_per_s"
 
@@ -488,6 +600,16 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": 1.0,
     }
+    # Apples-to-apples companion number: the reference rasterizer ALWAYS
+    # blends the 16 object-feature channels (gaussian_renderer/__init__.py
+    # :86-95), so the default (RGB-only) headline also reports the
+    # with-objects figure (VERDICT r1 weak #2).
+    if args.mode == "raster" and not args.forward_only and not args.objects:
+        mpix_obj = bench_fwd_bwd(
+            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
+            args.backend, budget, True, args.rect,
+        )
+        record["with_objects_mpix_per_s"] = round(mpix_obj, 3)
     # Parity gate (default on for the single-view raster bench with the
     # pallas backend): a Mosaic regression must show up in BENCH_r*.json.
     run_parity = args.parity
@@ -496,7 +618,7 @@ def main():
     if run_parity:
         max_err, ok = check_parity(
             scene, cam, args.pairs, args.chunk, args.max_chunks, budget,
-            args.objects,
+            args.objects, args.rect,
         )
         record["parity_max_rel_err"] = float(f"{max_err:.3e}")
         record["parity_ok"] = bool(ok)

@@ -95,6 +95,7 @@ def render_views(
     max_chunks: int = 16,
     backend: str = "xla",
     pairs_budget: int = 0,
+    rect_candidates: int = 0,
 ) -> jnp.ndarray:
     """Batched multi-view render -> (B, H, W, 3). `cams` is a stacked Camera.
 
@@ -116,6 +117,7 @@ def render_views(
             max_chunks=max_chunks,
             backend="pallas",
             pairs_budget=pairs_budget,
+            rect_candidates=rect_candidates,
         )["render"]
 
     def one(cam):
@@ -127,6 +129,7 @@ def render_views(
             max_chunks=max_chunks,
             backend=backend,
             pairs_budget=pairs_budget,
+            rect_candidates=rect_candidates,
         )["render"]
 
     return jax.vmap(one)(cams)

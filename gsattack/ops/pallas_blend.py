@@ -46,7 +46,7 @@ T_EPS = 1e-4
 GEOM_W = 8  # packed geometry rows per pair
 CHUNK = 128  # pairs per chunk == DMA alignment quantum
 
-_HIGH = jax.lax.Precision.HIGHEST
+_HIGH = jax.lax.Precision.HIGHEST  # Mosaic supports only DEFAULT | HIGHEST; DEFAULT (1-pass bf16) breaks the 1e-3 parity gate
 
 
 def _tri_lanes(k: int, strict: bool):

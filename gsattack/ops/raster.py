@@ -111,6 +111,7 @@ def bin_gaussians(
     pairs_per_gaussian: int = 32,
     conic: jnp.ndarray | None = None,
     opacity: jnp.ndarray | None = None,
+    rect_candidates: int = 0,
 ) -> TileBins:
     """Build depth-sorted per-tile index lists with static shapes.
 
@@ -121,23 +122,34 @@ def bin_gaussians(
     additionally passes an EXACT ellipse test: the min of the Mahalanobis
     form over the tile's pixel-center box must keep alpha >= 1/255
     somewhere, else the tile's pairs are dropped (output-exact — the blend
-    skips those pixels anyway; kills the rect's corner/elongation waste)."""
+    skips those pixels anyway; kills the rect's corner/elongation waste).
+
+    `rect_candidates` (> pairs_per_gaussian, needs conic+opacity) splits
+    the two capacities: the rect is enumerated at `rect_candidates` cells,
+    ellipse-surviving cells are COMPACTED left with a cheap per-row sort
+    (a ~10-stage network over C columns vs ~440 for the global pair sort),
+    and only the first `pairs_per_gaussian` columns feed the global sort —
+    on the bench scene the max rect footprint is 9 but max survivors is 5,
+    so the N*C global sort halves. 0 disables compaction."""
     n = mean2d.shape[0]
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
     num_tiles = tiles_x * tiles_y
     c = pairs_per_gaussian
+    do_ellipse = conic is not None and opacity is not None
+    compact = do_ellipse and rect_candidates > c
+    c_rect = rect_candidates if compact else c
 
     rmin_x, rmax_x, rmin_y, rmax_y = _tile_rect(mean2d, radius, tiles_x, tiles_y)
     rect_w = rmax_x - rmin_x
     touched = jnp.where(radius > 0, rect_w * (rmax_y - rmin_y), 0)  # (N,)
 
-    j = jnp.arange(c, dtype=jnp.int32)[None, :]  # (1, C)
+    j = jnp.arange(c_rect, dtype=jnp.int32)[None, :]  # (1, C_rect)
     w_safe = jnp.maximum(rect_w, 1)[:, None]
     tx = rmin_x[:, None] + j % w_safe
     ty = rmin_y[:, None] + j // w_safe
     valid = j < touched[:, None]
-    if conic is not None and opacity is not None:
+    if do_ellipse:
         # Tile pixel centers span [t*TILE, t*TILE + TILE-1] in each axis.
         lx = (tx * TILE).astype(jnp.float32) - mean2d[:, 0:1]
         ly = (ty * TILE).astype(jnp.float32) - mean2d[:, 1:2]
@@ -154,6 +166,18 @@ def bin_gaussians(
         pd = (conic[:, 0:1] > 0.0) & (conic[:, 2:3] > 0.0)
         valid &= (qmin <= q_cut) | ~pd  # non-PD conic: keep (blend decides)
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    overflow = jnp.maximum(touched - c_rect, 0)
+    if compact:
+        # Pack survivors left (key: valid cells keep j, invalid get C_rect;
+        # within a gaussian every tile is distinct so relative order is
+        # irrelevant) and keep the first c columns.
+        skey, tile_id = jax.lax.sort(
+            (jnp.where(valid, j, c_rect).astype(jnp.int32), tile_id),
+            num_keys=1,
+        )
+        overflow = overflow + jnp.maximum(jnp.sum(valid, axis=1) - c, 0)
+        tile_id = tile_id[:, :c]
+        valid = skey[:, :c] < c_rect
 
     # Single-key sort: pack (tile, depth) into one uint32 — the CUDA
     # reference radix-sorts a packed 64-bit key the same way; one 32-bit
@@ -187,7 +211,7 @@ def bin_gaussians(
     ).astype(jnp.int32)
     tile_start = bounds[:-1]
     tile_end = bounds[1:]
-    culled = jnp.sum(jnp.maximum(touched - c, 0))
+    culled = jnp.sum(overflow)
     return TileBins(sorted_gidx, tile_start, tile_end, culled)
 
 
@@ -238,6 +262,42 @@ def auto_pairs_per_gaussian(
     )
     m = max(int(jnp.max(touched)), floor)
     return ((m + quantum - 1) // quantum) * quantum
+
+
+def auto_pair_caps(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    quantum: int = 2,
+    floor: int = 2,
+) -> tuple[int, int]:
+    """Measure BOTH static pair capacities for `bin_gaussians` row
+    compaction: (pairs_per_gaussian, rect_candidates) = (max cells
+    surviving the exact ellipse test, max rect footprint), each rounded up
+    to `quantum`. The first sizes the global sort, the second the rect
+    enumeration. Host-side; call at setup, max over cameras (each distinct
+    value is a recompile)."""
+    rect = auto_pairs_per_gaussian(proj, width, height, quantum, floor)
+    bins_probe = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_tight, width, height, rect,
+        conic=proj.conic, opacity=proj.opacity,
+    )
+    # Survivor count per gaussian: valid pairs sort to a prefix (invalid
+    # carry the sentinel tile key), so histogram the gauss indices of the
+    # first sum(tile counts) sorted pairs. One-time setup cost.
+    n = proj.mean2d.shape[0]
+    p_valid = jnp.sum(bins_probe.tile_end - bins_probe.tile_start)
+    counts = jnp.bincount(
+        jnp.where(
+            jnp.arange(bins_probe.gauss_idx.shape[0]) < p_valid,
+            bins_probe.gauss_idx,
+            n,
+        ),
+        length=n + 1,
+    )[:n]
+    keep = max(int(counts.max()), floor)
+    keep = ((keep + quantum - 1) // quantum) * quantum
+    return min(keep, rect), rect
 
 
 def _blend_tiles(
@@ -411,6 +471,7 @@ def _blend_tiles_pallas(
     static_argnames=(
         "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
         "backend", "interpret", "pairs_budget", "with_objects",
+        "rect_candidates",
     ),
 )
 def rasterize(
@@ -425,6 +486,7 @@ def rasterize(
     interpret: bool = False,
     pairs_budget: int = 0,
     with_objects: bool = True,
+    rect_candidates: int = 0,
 ) -> dict:
     """Full tile rasterization of projected Gaussians.
 
@@ -446,6 +508,7 @@ def rasterize(
     bins = bin_gaussians(
         proj.mean2d, proj.depth, proj.radius_tight, width, height,
         pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
+        rect_candidates=rect_candidates,
     )
     channels = (
         jnp.concatenate([proj.color, proj.obj], axis=-1)
@@ -500,6 +563,7 @@ def rasterize(
     static_argnames=(
         "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
         "backend", "interpret", "pairs_budget", "with_objects",
+        "rect_candidates",
     ),
 )
 def rasterize_views(
@@ -514,6 +578,7 @@ def rasterize_views(
     interpret: bool = False,
     pairs_budget: int = 0,
     with_objects: bool = True,
+    rect_candidates: int = 0,
 ) -> dict:
     """Multi-view batched rasterization.
 
@@ -529,7 +594,7 @@ def rasterize_views(
     if backend != "pallas":
         fn = lambda p: rasterize(
             p, width, height, bg, pairs_per_gaussian, chunk, max_chunks,
-            backend, interpret, pairs_budget, with_objects,
+            backend, interpret, pairs_budget, with_objects, rect_candidates,
         )
         return jax.vmap(fn)(proj)
 
@@ -565,7 +630,7 @@ def rasterize_views(
         bins = bin_gaussians(
             proj.mean2d[vi], proj.depth[vi], proj.radius_tight[vi], width,
             height, pairs_per_gaussian, conic=proj.conic[vi],
-            opacity=proj.opacity[vi],
+            opacity=proj.opacity[vi], rect_candidates=rect_candidates,
         )
         per_view.append(
             pack_pairs(

@@ -41,6 +41,7 @@ def render(
     interpret: bool = False,
     pairs_budget: int = 0,
     with_objects: bool = True,
+    rect_candidates: int = 0,
 ) -> dict:
     """Render one camera view. Returns the reference's output schema
     (`render`, `render_object`, `radii`, `visibility_filter`) plus
@@ -60,6 +61,7 @@ def render(
         interpret=interpret,
         pairs_budget=pairs_budget,
         with_objects=with_objects,
+        rect_candidates=rect_candidates,
     )
     out["radii"] = proj.radius
     out["visibility_filter"] = proj.radius > 0
