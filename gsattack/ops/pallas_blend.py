@@ -89,23 +89,43 @@ def _chunk_alpha(geom, valid_row, pxf, pyf):
     return alpha, alpha_pre, clamped, dx, dy, power
 
 
+def _exact_bf16_dot(x, m):
+    """x @ m where m is EXACT in bf16 (0/1 entries): a 3-way bf16 split of
+    x (24 mantissa bits total, f32-grade) costs 3 single-pass MXU matmuls
+    where precision=HIGHEST costs 6 — and Mosaic has no HIGH (3-pass)
+    lowering to reach for instead."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    mb = m.astype(jnp.bfloat16)
+    out = jnp.dot(hi, mb, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(mid, mb, preferred_element_type=jnp.float32)
+    return out + jnp.dot(lo, mb, preferred_element_type=jnp.float32)
+
+
 def _forward_chunk_blend(alpha, T_in, done_in):
     """Forward compositing for one chunk, (P, K) orientation.
 
-    T_in/done_in are (P, 1) columns. Returns (w, T_out, done_out)."""
+    T_in/done_in are (P, 1) columns. Returns (w, T_out, done_out).
+
+    ONE tri matmul: frozen lanes form a SUFFIX of the chunk (t_incl is
+    nonincreasing lane-to-lane since alpha <= 0.99, and done_in freezes
+    every lane), so at every non-frozen lane the exclusive cumsum of
+    EFFECTIVE log-transmittances equals the raw one — the old second
+    (effective) tri matmul was redundant, as were the exp(cum_incl) and
+    exp(sum) passes: t_incl = t_exc * (1 - alpha) elementwise, and the
+    chunk-exit T is t_incl at the last non-frozen lane (the min over
+    non-frozen lanes, by monotonicity)."""
     k = alpha.shape[1]
     lg = jnp.log1p(-alpha)
-    cum_incl = jnp.dot(lg, _tri_lanes(k, False),
-                       preferred_element_type=jnp.float32, precision=_HIGH)
-    t_incl = T_in * jnp.exp(cum_incl)
+    cum_exc = _exact_bf16_dot(lg, _tri_lanes(k, True))
+    t_exc = T_in * jnp.exp(cum_exc)
+    t_incl = t_exc * (1.0 - alpha)
     frozen = (t_incl < T_EPS) | (done_in > 0.5)
     alpha_eff = jnp.where(frozen, 0.0, alpha)
-    lg_eff = jnp.where(frozen, 0.0, lg)  # log1p(-0) == 0: reuse, don't recompute
-    cum_exc = jnp.dot(lg_eff, _tri_lanes(k, True),
-                      preferred_element_type=jnp.float32, precision=_HIGH)
-    t_exc = T_in * jnp.exp(cum_exc)
     w = alpha_eff * t_exc  # (P, K)
-    T_out = T_in * jnp.exp(jnp.sum(lg_eff, axis=1, keepdims=True))
+    T_out = jnp.min(jnp.where(frozen, T_in, t_incl), axis=1, keepdims=True)
     crossed = jnp.max(
         jnp.where((t_incl < T_EPS) & (alpha > 0.0), 1.0, 0.0), axis=1,
         keepdims=True,
@@ -274,10 +294,7 @@ def _bwd_kernel(
         )  # (P, K)
         wcg = w * cg
         # within-chunk suffix: suffix[:, i] = sum_{j > i} wcg[:, j]
-        suffix = jnp.dot(
-            wcg, _tri_lanes(CHUNK, True).T,
-            preferred_element_type=jnp.float32, precision=_HIGH,
-        )
+        suffix = _exact_bf16_dot(wcg, _tri_lanes(CHUNK, True).T)
         S_after = suffix + S  # (P, K) + (P, 1)
         one_m = 1.0 - alpha_eff
         live = alpha_eff > 0.0
