@@ -535,8 +535,14 @@ def main():
         # Auto-size the packed capacity from the real padded pair total
         # (r1 ran a 561k-slot layout against ~330k needed — every per-slot
         # pack op scales with the capacity).
+        # Probe with the run's exact binning config (rect compaction). PGD
+        # keeps the drift margin (means move during the attack); the static
+        # raster benches measure the exact padded total, margin 1 + the
+        # CHUNK slack suffices and every slot of slack is pack time.
         budget = auto_pairs_budget(
-            proj0, args.width, args.height, args.pairs
+            proj0, args.width, args.height, args.pairs,
+            margin=1.25 if args.mode == "pgd" else 1.0,
+            rect_candidates=args.rect,
         )
     elif budget < 0:
         budget = 0

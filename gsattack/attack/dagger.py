@@ -69,6 +69,9 @@ class AttackConfig:
     max_chunks: int = 16
     backend: str = "xla"  # "pallas" on TPU for the fast blend kernels
     pairs_budget: int = 0
+    # Rect-enumeration capacity for binning row compaction (-1 = auto-pair
+    # with pairs_per_gaussian=-1; 0 = off). See ops/raster.bin_gaussians.
+    rect_candidates: int = 0
     save_ply: bool = True
     # Checkpoint/resume (capability the reference lacks, SURVEY §5): save
     # attack state every N iterations; resume picks up pending views + params.
@@ -216,22 +219,53 @@ def run_dagger(
     # (value -1): too-small caps silently drop pairs and oversize caps are
     # pure sort/pack bandwidth, so measure instead of guessing. Max over
     # all attack cameras -> one compile.
-    if cfg.pairs_per_gaussian < 0 or cfg.pairs_budget < 0:
+    if (
+        cfg.pairs_per_gaussian < 0
+        or cfg.pairs_budget < 0
+        or cfg.rect_candidates < 0
+    ):
         from ..ops.project import project
-        from ..ops.raster import auto_pairs_budget, auto_pairs_per_gaussian
+        from ..ops.raster import (
+            auto_pair_caps, auto_pairs_budget, auto_pairs_per_gaussian,
+        )
 
-        projs = [(project(scene, c), c) for c in built]
-        if cfg.pairs_per_gaussian < 0:
+        # Probe the eval overlay scene too: success evaluation renders
+        # adv.concat(frozen_scene), whose pair counts exceed the attacked
+        # sub-scene's — sizing only the latter would silently truncate the
+        # eval images in grouped mode.
+        probe_scenes = [scene] + (
+            [scene.concat(frozen_scene)] if frozen_scene is not None else []
+        )
+        projs = [
+            (project(sc, c), c) for sc in probe_scenes for c in built
+        ]
+        if cfg.pairs_per_gaussian < 0 and cfg.rect_candidates < 0:
+            caps = [auto_pair_caps(p, c.width, c.height) for p, c in projs]
+            pairs = max(k for k, _ in caps)
+            rect = max(r for _, r in caps)
+            if rect <= pairs:
+                rect = 0  # compaction can't shrink anything
+            cfg = dataclasses.replace(
+                cfg, pairs_per_gaussian=pairs, rect_candidates=rect
+            )
+            log(
+                f"[Info] Auto-sized pairs_per_gaussian = {pairs}, "
+                f"rect_candidates = {rect}"
+            )
+        elif cfg.pairs_per_gaussian < 0:
             pairs = max(
                 auto_pairs_per_gaussian(p, c.width, c.height)
                 for p, c in projs
             )
             cfg = dataclasses.replace(cfg, pairs_per_gaussian=pairs)
             log(f"[Info] Auto-sized pairs_per_gaussian = {pairs}")
+        elif cfg.rect_candidates < 0:
+            cfg = dataclasses.replace(cfg, rect_candidates=0)
         if cfg.pairs_budget < 0:
             budget = max(
                 auto_pairs_budget(
-                    p, c.width, c.height, cfg.pairs_per_gaussian
+                    p, c.width, c.height, cfg.pairs_per_gaussian,
+                    rect_candidates=cfg.rect_candidates,
                 )
                 for p, c in projs
             )
@@ -249,6 +283,7 @@ def run_dagger(
             max_chunks=cfg.max_chunks,
             backend=cfg.backend,
             pairs_budget=cfg.pairs_budget,
+            rect_candidates=cfg.rect_candidates,
         )
         return silhouette_bbox(out["render"]), out["num_truncated_pairs"]
 
@@ -269,7 +304,7 @@ def run_dagger(
         sc = scene.with_params(params)
         imgs = render_views(
             sc, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks,
-            cfg.backend, cfg.pairs_budget,
+            cfg.backend, cfg.pairs_budget, cfg.rect_candidates,
         )
         return detector.loss(imgs, target_idx, bboxes)
 
@@ -360,6 +395,7 @@ def run_dagger(
                 render_views(
                     eval_scene, cams, bg, cfg.pairs_per_gaussian,
                     cfg.max_chunks, cfg.backend, cfg.pairs_budget,
+                    cfg.rect_candidates,
                 )
             )
             successes = []

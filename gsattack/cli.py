@@ -180,6 +180,7 @@ def cmd_attack(argv):
         max_chunks=cfg.get("max_chunks", 16),
         backend=cfg.get("backend", "xla"),
         pairs_budget=cfg.get("pairs_budget", 0),
+        rect_candidates=cfg.get("rect_candidates", 0),
     )
     res = run_dagger(scene, views, detector, acfg, frozen_scene=frozen, attack_mask=mask)
     print(

@@ -221,17 +221,23 @@ def auto_pairs_budget(
     height: int,
     pairs_per_gaussian: int = 32,
     margin: float = 1.25,
+    rect_candidates: int = 0,
 ) -> int:
     """Size `pairs_budget` (the packed-layout SLOT capacity, including each
     tile's round-up-to-CHUNK padding — pack_pairs semantics) from the
     actual binned pair counts of one view (margin headroom, rounded to the
-    DMA chunk quantum). Host-side helper — runs one binning pass; call once
+    DMA chunk quantum). Pass the run's `rect_candidates` so the probe bins
+    EXACTLY like the run — with compaction on, a probe binned at only
+    `pairs_per_gaussian` rect cells truncates the rect enumeration where
+    the run compacts ellipse survivors, so their pair sets (and padded
+    totals) diverge. Host-side helper — runs one binning pass; call once
     at setup, not inside jit."""
     from .pallas_blend import CHUNK
 
     bins = bin_gaussians(
         proj.mean2d, proj.depth, proj.radius_tight, width, height,
         pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
+        rect_candidates=rect_candidates,
     )
     counts = bins.tile_end - bins.tile_start
     padded_total = int(jnp.sum((counts + CHUNK - 1) // CHUNK) * CHUNK)

@@ -210,3 +210,37 @@ def test_rect_candidates_overflow_counted(toy_scene, toy_camera):
         rect_candidates=32,
     )
     assert int(out["num_culled_pairs"]) > 0
+
+
+def test_auto_budget_probe_matches_compacted_run(toy_scene, toy_camera):
+    """`auto_pairs_budget` must bin exactly like the run it sizes: with
+    row compaction on, a margin-1.0 budget equals the compacted binning's
+    padded pair total + the CHUNK slack (probe/run divergence would make
+    'auto' budgets silently truncate; VERDICT r1 item 7)."""
+    from gsattack.ops.pallas_blend import CHUNK
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import (
+        auto_pair_caps, auto_pairs_budget, bin_gaussians,
+    )
+
+    proj = project(toy_scene, toy_camera)
+    pairs, rect = auto_pair_caps(proj, toy_camera.width, toy_camera.height)
+    budget = auto_pairs_budget(
+        proj, toy_camera.width, toy_camera.height, pairs,
+        margin=1.0, rect_candidates=rect,
+    )
+    bins = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_tight,
+        toy_camera.width, toy_camera.height, pairs,
+        conic=proj.conic, opacity=proj.opacity, rect_candidates=rect,
+    )
+    counts = np.asarray(bins.tile_end - bins.tile_start)
+    padded_total = int(((counts + CHUNK - 1) // CHUNK * CHUNK).sum())
+    assert budget == padded_total + CHUNK
+    # and the compacted pallas render fits that budget with zero truncation
+    out = render(
+        toy_scene, toy_camera, jnp.zeros(3), pairs_per_gaussian=pairs,
+        rect_candidates=rect, backend="pallas", interpret=True,
+        pairs_budget=budget,
+    )
+    assert int(out["num_truncated_pairs"]) == 0
