@@ -78,8 +78,34 @@ def unpack_symmetric(cov6: jnp.ndarray) -> jnp.ndarray:
 
 def covariance6(s: jnp.ndarray, q: jnp.ndarray, modifier: float = 1.0) -> jnp.ndarray:
     """Activated covariance as the reference's `get_covariance`
-    (`scene/gaussian_model.py:25-29,123`)."""
-    return strip_symmetric(build_covariance(s * modifier, q))
+    (`scene/gaussian_model.py:25-29,123`), packed (xx, xy, xz, yy, yz, zz).
+
+    Computed ELEMENTWISE as Sigma_ij = sum_k s_k^2 R_ik R_jk instead of the
+    batched `L @ L.T`: (N,3,3) matmuls are MXU-hostile on TPU (3x3 tiles on
+    a 128x128 systolic array) and their autodiff transpose doubles down —
+    the matmul form cost ~5 ms of the projection BACKWARD at N=100k where
+    this form is a fused VPU map (same r1 lesson as the elementwise EWA
+    quad in ops/project.compute_cov2d)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s2 = jnp.square(s * modifier)
+    s0, s1, s2_ = s2[..., 0], s2[..., 1], s2[..., 2]
+    xx = s0 * r00 * r00 + s1 * r01 * r01 + s2_ * r02 * r02
+    xy = s0 * r00 * r10 + s1 * r01 * r11 + s2_ * r02 * r12
+    xz = s0 * r00 * r20 + s1 * r01 * r21 + s2_ * r02 * r22
+    yy = s0 * r10 * r10 + s1 * r11 * r11 + s2_ * r12 * r12
+    yz = s0 * r10 * r20 + s1 * r11 * r21 + s2_ * r12 * r22
+    zz = s0 * r20 * r20 + s1 * r21 * r21 + s2_ * r22 * r22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
 
 
 def world_to_view_matrix(
