@@ -547,30 +547,60 @@ def pack_pairs(
         # the capacity itself is a CHUNK multiple.
         p_pad = ((budget + CHUNK - 1) // CHUNK) * CHUNK
     else:
-        p_pad = p + num_tiles * CHUNK
+        # chunk-multiple capacity keeps the chunk->tile map exact below
+        p_pad = ((p + CHUNK - 1) // CHUNK) * CHUNK + num_tiles * CHUNK
     packed_start = jnp.minimum(start_raw, p_pad)
     packed_end = jnp.minimum(start_raw + counts, p_pad)
     num_budget_dropped = (
         jnp.sum(counts) - jnp.sum(packed_end - packed_start)
     ).astype(jnp.int32)
 
-    q = jnp.arange(p_pad, dtype=jnp.int32)
+    # ---- slot -> gaussian WITHOUT a P_pad-sized random gather. A flat
+    # gidx_pad[p_of_q] lookup is latency-bound per ELEMENT (~2.6 ms for
+    # 340k slots — as slow as the wide row gather below). But tile packed
+    # starts are CHUNK-aligned by construction, so every CHUNK-slot chunk
+    # belongs to ONE tile and reads CONSECUTIVE sorted pairs: per chunk the
+    # lookup is two aligned 128-wide rows of gauss_idx plus a lane shift.
+    # That is 2*(P_pad/128) row fetches + 8 VPU roll passes instead of
+    # P_pad scalar fetches (~50x less latency-bound traffic).
+    n_chunks = p_pad // CHUNK
+    c_start = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK
 
-    def fill(vals):
-        # Scatter each tile's value at its packed start (out-of-capacity
-        # starts == p_pad are dropped by the default OOB-scatter rule),
-        # then forward-fill: nondecreasing values make cummax exact.
-        z = jnp.zeros(p_pad, jnp.int32).at[packed_start].max(vals)
+    def cfill(vals):
+        # Scatter each tile's value at its packed start CHUNK (OOB
+        # == n_chunks dropped), forward-fill: nondecreasing -> exact.
+        # Zero-count tiles share a chunk with the next real tile; max
+        # picks the real (largest-index) one, matching the slot fill.
+        z = jnp.zeros(n_chunks, jnp.int32).at[packed_start // CHUNK].max(vals)
         return jax.lax.cummax(z)
 
-    start_of_q = fill(packed_start)  # slot -> its tile's packed start
-    end_of_q = fill(packed_end)  # slot -> its tile's packed end
-    src0_of_q = fill(tile_start.astype(jnp.int32))  # -> first sorted pair
+    start_c = cfill(packed_start)  # chunk -> its tile's packed start (slots)
+    end_c = cfill(packed_end)  # chunk -> its tile's packed end (slots)
+    src0_c = cfill(tile_start.astype(jnp.int32))  # -> tile's first pair
+    pq0 = src0_c + (c_start - start_c)  # chunk's first sorted-pair index
+
+    p_round = ((p + CHUNK - 1) // CHUNK) * CHUNK
+    g_pad = jnp.concatenate(
+        [gauss_idx.astype(jnp.int32),
+         jnp.full((p_round - p + CHUNK,), n, jnp.int32)]
+    ).reshape(-1, CHUNK)
+    row0 = jnp.clip(pq0 // CHUNK, 0, g_pad.shape[0] - 2)
+    pair_rows = jnp.concatenate([g_pad[row0], g_pad[row0 + 1]], axis=1)
+    # Barrel shift each 256-lane row left by off (invalid chunks past the
+    # data run may clip; their lanes are masked below).
+    off = jnp.clip(pq0 - row0 * CHUNK, 0, 2 * CHUNK - 1)
+    for k in range(8):  # 2*CHUNK == 256 == 2^8
+        bit = ((off >> k) & 1).astype(bool)[:, None]
+        pair_rows = jnp.where(
+            bit, jnp.roll(pair_rows, -(1 << k), axis=1), pair_rows
+        )
+    sg0 = pair_rows[:, :CHUNK].reshape(-1)
+
+    q = jnp.arange(p_pad, dtype=jnp.int32)
+    end_of_q = jnp.broadcast_to(end_c[:, None], (n_chunks, CHUNK)).reshape(-1)
     valid_q = q < end_of_q
-    p_of_q = jnp.where(valid_q, src0_of_q + (q - start_of_q), p)
-    # compose with the pair -> gaussian map; padding slots hit gaussian n
-    gidx_pad = jnp.concatenate([gauss_idx, jnp.full((1,), n, jnp.int32)])
-    src_gauss = gidx_pad[p_of_q]  # (P_pad,)
+    # padding slots hit the sacrificial gaussian n
+    src_gauss = jnp.where(valid_q, sg0, n)  # (P_pad,)
 
     # ONE gather of unified (GEOM_W + CH_pad)-wide rows + ONE transpose:
     # separate geometry/color gathers cost a full extra gather pass (row
