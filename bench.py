@@ -73,16 +73,20 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
         )
         return jnp.mean((out["render"] - target) ** 2)
 
-    vg = jax.jit(jax.value_and_grad(loss_fn))
+    # eps (a per-iteration 1e-30 that rounds away against f32 positions)
+    # defeats the axon result cache, which returns repeated identical
+    # calls instantly and would fake the throughput.
+    vg = jax.jit(lambda p, eps: jax.value_and_grad(loss_fn)(
+        {**p, "xyz": p["xyz"] + eps}))
     params = scene.params()
     t0 = time.perf_counter()
-    loss, grads = vg(params)
+    loss, grads = vg(params, jnp.float32(0.0))
     jax.block_until_ready(grads)
     log(f"first fwd+bwd (compile + run): {time.perf_counter() - t0:.1f}s, loss={float(loss):.6f}")
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, grads = vg(params)
+    for i in range(iters):
+        loss, grads = vg(params, jnp.float32((i + 1) * 1e-30))
     jax.block_until_ready(grads)
     dt = time.perf_counter() - t0
     mpix = cam.width * cam.height * iters / dt / 1e6
@@ -99,8 +103,9 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     bg = jnp.zeros(3)
 
     @jax.jit
-    def fwd(params):
-        sc = scene.with_params(params)
+    def fwd(params, eps):
+        # eps: inert per-iteration nudge to defeat the axon result cache
+        sc = scene.with_params({**params, "xyz": params["xyz"] + eps})
         return render(
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
             max_chunks=max_chunks, backend=backend, pairs_budget=pairs_budget,
@@ -108,10 +113,10 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
         )["render"]
 
     params = scene.params()
-    img = jax.block_until_ready(fwd(params))
+    img = jax.block_until_ready(fwd(params, jnp.float32(0.0)))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        img = fwd(params)
+    for i in range(iters):
+        img = fwd(params, jnp.float32((i + 1) * 1e-30))
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
     mpix = cam.width * cam.height * iters / dt / 1e6
@@ -191,15 +196,17 @@ def bench_fwd_bwd_views(scene, cam, iters: int, pairs: int, max_chunks: int,
         )
         return jnp.mean((out["render"] - target) ** 2)
 
-    vg = jax.jit(jax.value_and_grad(loss_fn))
+    # eps: inert per-iteration nudge to defeat the axon result cache
+    vg = jax.jit(lambda p, eps: jax.value_and_grad(loss_fn)(
+        {**p, "xyz": p["xyz"] + eps}))
     params = scene.params()
     t0 = time.perf_counter()
-    loss, grads = vg(params)
+    loss, grads = vg(params, jnp.float32(0.0))
     jax.block_until_ready(grads)
     log(f"first batched fwd+bwd (compile + run): {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, grads = vg(params)
+    for i in range(iters):
+        loss, grads = vg(params, jnp.float32((i + 1) * 1e-30))
     jax.block_until_ready(grads)
     dt = time.perf_counter() - t0
     mpix = cam.width * cam.height * views * iters / dt / 1e6
@@ -227,11 +234,19 @@ def bench_bisect(scene, cam, iters: int, pairs: int, max_chunks: int,
     tiles_y = (cam.height + TILE - 1) // TILE
 
     def timed(name, fn):
-        jfn = jax.jit(fn)
-        out = jax.block_until_ready(jfn(params))
+        # The axon runtime caches results keyed on input buffers: repeated
+        # identical calls return instantly and fake the timing. Thread a
+        # per-iteration epsilon (1e-30 rounds away against f32 positions,
+        # so the compiled graph and outputs are unchanged) to force a
+        # distinct cache key every call.
+        def perturbed(p, eps):
+            return fn({**p, "xyz": p["xyz"] + eps})
+
+        jfn = jax.jit(perturbed)
+        out = jax.block_until_ready(jfn(params, jnp.float32(0.0)))
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = jfn(params)
+        for i in range(iters):
+            out = jfn(params, jnp.float32((i + 1) * 1e-30))
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
         log(f"bisect {name}: {dt:.2f} ms")
@@ -307,10 +322,21 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
     tiles_y = (cam.height + TILE - 1) // TILE
 
     def timed(name, fn, *args):
-        out = jax.block_until_ready(fn(*args))
+        # Defeat the axon result cache (repeated identical inputs return
+        # instantly): nudge the first float operand by a per-iteration
+        # 1e-30 that rounds away against its f32 values, so every call
+        # has a fresh cache key but an identical compiled graph + output.
+        def perturb(a, eps):
+            if isinstance(a, dict):
+                return {**a, "xyz": a["xyz"] + eps}
+            assert jnp.issubdtype(a.dtype, jnp.floating), a.dtype
+            return a + eps
+
+        jfn = jax.jit(lambda eps, a0, *rest: fn(perturb(a0, eps), *rest))
+        out = jax.block_until_ready(jfn(jnp.float32(0.0), *args))
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
+        for i in range(iters):
+            out = jfn(jnp.float32((i + 1) * 1e-30), *args)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
         log(f"stage {name}: {dt:.2f} ms")
