@@ -394,19 +394,22 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
 
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
               backend: str = "xla", batch: int = 2, pairs_budget: int = 0,
-              use_mesh: bool = False, rect: int = 0):
+              use_mesh: bool = False, rect: int = 0, detector: str = "toy"):
     """End-to-end DAGGER PGD iterations/s: batched multi-view render ->
     detector loss -> grads -> color-l2 step (the BASELINE.md attack-speed
-    metric), with the toy conv detector as the frozen scoring head."""
+    metric). `detector` picks the frozen scoring head: the default toy
+    conv net, or any zoo name (yolov8 etc.) for a reference-comparable
+    number with the real detection-loss graph in the PGD loop."""
     import jax
     import jax.numpy as jnp
 
     from gsattack.attack.pgd import pgd_attack_step
     from gsattack.core import make_camera, stack_cameras
-    from gsattack.models import ToyDetector
+    from gsattack.models import ToyDetector, load_detector
     from gsattack.render import render
 
-    det = ToyDetector(num_classes=8)
+    det = (ToyDetector(num_classes=8) if detector == "toy"
+           else load_detector(detector))
     det.load_model()
     cams = stack_cameras(
         [
@@ -516,6 +519,9 @@ def main():
     ap.add_argument("--views", type=int, default=2)
     ap.add_argument("--objects", action="store_true", help="blend the 16 grouping channels too")
     ap.add_argument("--mesh", action="store_true", help="shard PGD over a (views, splats) mesh (multi-device)")
+    ap.add_argument("--detector", default="toy",
+                    help="pgd mode scoring head: toy (default) or a zoo "
+                         "name (yolov3/yolov5/yolov8/yolov11/detectron2/detr)")
     ap.add_argument("--parity", dest="parity", action="store_true",
                     default=None, help="gate compiled pallas vs XLA parity")
     ap.add_argument("--no-parity", dest="parity", action="store_false")
@@ -579,6 +585,7 @@ def main():
         ips = bench_pgd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
             args.backend, args.views, budget, args.mesh, args.rect,
+            args.detector,
         )
         print(
             json.dumps(
