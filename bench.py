@@ -84,9 +84,12 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     jax.block_until_ready(grads)
     log(f"first fwd+bwd (compile + run): {time.perf_counter() - t0:.1f}s, loss={float(loss):.6f}")
 
+    # pre-upload the eps scalars so no host->device transfer rides the loop
+    eps_seq = jax.block_until_ready(
+        [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
     t0 = time.perf_counter()
-    for i in range(iters):
-        loss, grads = vg(params, jnp.float32((i + 1) * 1e-30))
+    for e in eps_seq:
+        loss, grads = vg(params, e)
     jax.block_until_ready(grads)
     dt = time.perf_counter() - t0
     mpix = cam.width * cam.height * iters / dt / 1e6
@@ -114,9 +117,11 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
 
     params = scene.params()
     img = jax.block_until_ready(fwd(params, jnp.float32(0.0)))
+    eps_seq = jax.block_until_ready(
+        [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
     t0 = time.perf_counter()
-    for i in range(iters):
-        img = fwd(params, jnp.float32((i + 1) * 1e-30))
+    for e in eps_seq:
+        img = fwd(params, e)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
     mpix = cam.width * cam.height * iters / dt / 1e6
@@ -204,9 +209,11 @@ def bench_fwd_bwd_views(scene, cam, iters: int, pairs: int, max_chunks: int,
     loss, grads = vg(params, jnp.float32(0.0))
     jax.block_until_ready(grads)
     log(f"first batched fwd+bwd (compile + run): {time.perf_counter() - t0:.1f}s")
+    eps_seq = jax.block_until_ready(
+        [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
     t0 = time.perf_counter()
-    for i in range(iters):
-        loss, grads = vg(params, jnp.float32((i + 1) * 1e-30))
+    for e in eps_seq:
+        loss, grads = vg(params, e)
     jax.block_until_ready(grads)
     dt = time.perf_counter() - t0
     mpix = cam.width * cam.height * views * iters / dt / 1e6
@@ -244,9 +251,11 @@ def bench_bisect(scene, cam, iters: int, pairs: int, max_chunks: int,
 
         jfn = jax.jit(perturbed)
         out = jax.block_until_ready(jfn(params, jnp.float32(0.0)))
+        eps_seq = jax.block_until_ready(
+            [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
         t0 = time.perf_counter()
-        for i in range(iters):
-            out = jfn(params, jnp.float32((i + 1) * 1e-30))
+        for e in eps_seq:
+            out = jfn(params, e)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
         log(f"bisect {name}: {dt:.2f} ms")
@@ -334,9 +343,11 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
 
         jfn = jax.jit(lambda eps, a0, *rest: fn(perturb(a0, eps), *rest))
         out = jax.block_until_ready(jfn(jnp.float32(0.0), *args))
+        eps_seq = jax.block_until_ready(
+            [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
         t0 = time.perf_counter()
-        for i in range(iters):
-            out = jfn(jnp.float32((i + 1) * 1e-30), *args)
+        for e in eps_seq:
+            out = jfn(e, *args)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
         log(f"stage {name}: {dt:.2f} ms")
@@ -394,7 +405,8 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
 
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
               backend: str = "xla", batch: int = 2, pairs_budget: int = 0,
-              use_mesh: bool = False, rect: int = 0, detector: str = "toy"):
+              use_mesh: bool = False, rect: int = 0, detector: str = "toy",
+              det_weights: str = ""):
     """End-to-end DAGGER PGD iterations/s: batched multi-view render ->
     detector loss -> grads -> color-l2 step (the BASELINE.md attack-speed
     metric). `detector` picks the frozen scoring head: the default toy
@@ -409,8 +421,11 @@ def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
     from gsattack.render import render
 
     det = (ToyDetector(num_classes=8) if detector == "toy"
-           else load_detector(detector))
+           else load_detector(detector, weights=det_weights))
     det.load_model()
+    if detector != "toy" and not det_weights:
+        log(f"NOTE: {detector} runs on seeded random init (no --det-weights"
+            " given) — timing is representative, loss values are not.")
     cams = stack_cameras(
         [
             make_camera(np.eye(3), np.array([0.0, 0.0, 0.05 * i]), 1.0,
@@ -521,7 +536,11 @@ def main():
     ap.add_argument("--mesh", action="store_true", help="shard PGD over a (views, splats) mesh (multi-device)")
     ap.add_argument("--detector", default="toy",
                     help="pgd mode scoring head: toy (default) or a zoo "
-                         "name (yolov3/yolov5/yolov8/yolov11/detectron2/detr)")
+                         "name (yolov3/yolov5/yolov8/yolov11/detectron2/detr)"
+                         "; without --det-weights zoo heads run on seeded "
+                         "random init (timing-representative only)")
+    ap.add_argument("--det-weights", default="",
+                    help="converted checkpoint (.npz) for --detector")
     ap.add_argument("--parity", dest="parity", action="store_true",
                     default=None, help="gate compiled pallas vs XLA parity")
     ap.add_argument("--no-parity", dest="parity", action="store_false")
@@ -585,7 +604,7 @@ def main():
         ips = bench_pgd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
             args.backend, args.views, budget, args.mesh, args.rect,
-            args.detector,
+            args.detector, args.det_weights,
         )
         print(
             json.dumps(

@@ -62,6 +62,8 @@ def random_problem(seed, n, num_tiles, max_count):
     (2, 40, 11, 200, 1024),      # budget clamps mid-stream
     (3, 30, 5, 90, 256),         # budget smaller than demand
     (4, 10, 3, 0, 0),            # all tiles empty
+    (5, 25, 7, 60, 100),         # budget NOT a CHUNK multiple: capacity
+                                 # is the round-up (128), not the raw 100
 ])
 def test_pack_pairs_matches_brute_force(seed, n, num_tiles, max_count, budget):
     geom, channels, gauss_idx, ts, te = random_problem(
