@@ -55,12 +55,30 @@ def render_views_sharded(
     interpret mode (CPU-mesh tests); `backend="xla"` swaps in the XLA
     blend under the same sharding layout."""
     width, height = cams.width, cams.height
+    from ..ops.raster import TILE
+
+    # Tile-parallel blending: when the tile rows divide evenly over the
+    # splats axis, each device rasterizes only its horizontal band of
+    # tiles (EWA splatting in pixel space is translation-invariant, so a
+    # band render is just a mean2d shift + short image) and `out_specs`
+    # concatenates the bands along H. This puts bin/pack/sort/blend on
+    # BOTH mesh axes — without it the raster stages are replicated across
+    # splats and only projection + grad reduction scale on that axis.
+    # Fwd adds zero communication; the bwd path is unchanged (the shift
+    # is grad-transparent and the all_gather transpose already
+    # reduce-scatters per-gaussian grads to their shard).
+    n_splats = mesh.shape[SPLATS_AXIS]
+    tiles_y = height // TILE
+    tile_parallel = (
+        height % TILE == 0 and tiles_y % n_splats == 0 and n_splats > 1
+    )
+    out_spec = P(VIEWS_AXIS, SPLATS_AXIS) if tile_parallel else P(VIEWS_AXIS)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(scene_spec(scene), camera_batch_spec(cams), P()),
-        out_specs=P(VIEWS_AXIS),
+        out_specs=out_spec,
         check_vma=False,
     )
     def f(scene_shard, cams_shard, bg_):
@@ -71,10 +89,21 @@ def render_views_sharded(
             ),
             proj_local,
         )
+        band_h = height
+        if tile_parallel:
+            band_h = height // n_splats
+            y0 = (jax.lax.axis_index(SPLATS_AXIS) * band_h).astype(
+                proj_full.mean2d.dtype
+            )
+            proj_full = proj_full._replace(
+                mean2d=proj_full.mean2d - jnp.stack(
+                    [jnp.zeros_like(y0), y0]
+                )
+            )
         out = rasterize_views(
             proj_full,
             width,
-            height,
+            band_h,
             bg_,
             pairs_per_gaussian=pairs_per_gaussian,
             max_chunks=max_chunks,

@@ -161,6 +161,32 @@ def test_sharded_pallas_render_matches_unsharded():
         )
 
 
+def test_sharded_pallas_render_fallback_indivisible_tiles():
+    """Heights whose tile rows don't divide over the splats axis take the
+    replicated (non-banded) path; output must be identical either way."""
+    from gsattack.core.camera import stack_cameras
+    from gsattack.parallel.pallas_shard import render_views_sharded
+    from gsattack.parallel.shardings import shard_camera_batch
+    from gsattack.render import render
+
+    sc = make_toy_scene(n=96, seed=3)
+    cams_list = [
+        make_toy_camera(width=64, height=48, z=0.1 * i) for i in range(4)
+    ]
+    cams = stack_cameras(cams_list)
+    mesh = make_mesh((2, 4))  # tiles_y=3 % splats=4 != 0 -> fallback
+    bg = jnp.array([0.2, 0.4, 0.6])
+    out = render_views_sharded(
+        shard_scene(sc, mesh), shard_camera_batch(cams, mesh), bg, mesh,
+        max_chunks=8, interpret=True,
+    )
+    for i, cam in enumerate(cams_list):
+        ref = render(sc, cam, bg, max_chunks=8)["render"]
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), atol=1e-5
+        )
+
+
 def test_sharded_pallas_grads_match_unsharded():
     from gsattack.core.camera import stack_cameras
     from gsattack.parallel.pallas_shard import render_views_sharded
