@@ -99,6 +99,7 @@ def render_views(
     backend: str = "xla",
     pairs_budget: int = 0,
     rect_candidates: int = 0,
+    mesh=None,
 ) -> jnp.ndarray:
     """Batched multi-view render -> (B, H, W, 3). `cams` is a stacked Camera.
 
@@ -107,7 +108,30 @@ def render_views(
     (views, tiles) (ops/raster.rasterize_views) — replacing the r1
     `lax.map` serialization (vmapping the pallas custom call tripped an
     XLA fusion crash, and per-view launches repaid the grid overhead
-    every view)."""
+    every view).
+
+    With a `jax.sharding.Mesh` and the pallas backend, routes through the
+    explicit shard_map composition (parallel/pallas_shard.py: splats-
+    sharded projection -> all_gather -> tile-banded blend) when the view
+    batch and splat capacity divide the mesh axes; otherwise falls back
+    to GSPMD auto-partitioning of this function's graph."""
+
+    if backend == "pallas" and mesh is not None:
+        from ..parallel.mesh import SPLATS_AXIS, VIEWS_AXIS
+        from ..parallel.pallas_shard import render_views_sharded
+
+        n_views = cams.view.shape[0]
+        n_splats = scene.xyz.shape[0]
+        if (n_views % mesh.shape[VIEWS_AXIS] == 0
+                and n_splats % mesh.shape[SPLATS_AXIS] == 0):
+            return render_views_sharded(
+                scene, cams, bg, mesh,
+                pairs_per_gaussian=pairs_per_gaussian,
+                max_chunks=max_chunks,
+                pairs_budget=pairs_budget,
+                interpret=jax.default_backend() == "cpu",
+                rect_candidates=rect_candidates,
+            )
 
     if backend == "pallas":
         from ..ops.project import project
@@ -304,7 +328,7 @@ def run_dagger(
         sc = scene.with_params(params)
         imgs = render_views(
             sc, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks,
-            cfg.backend, cfg.pairs_budget, cfg.rect_candidates,
+            cfg.backend, cfg.pairs_budget, cfg.rect_candidates, mesh,
         )
         return detector.loss(imgs, target_idx, bboxes)
 
@@ -395,7 +419,7 @@ def run_dagger(
                 render_views(
                     eval_scene, cams, bg, cfg.pairs_per_gaussian,
                     cfg.max_chunks, cfg.backend, cfg.pairs_budget,
-                    cfg.rect_candidates,
+                    cfg.rect_candidates, mesh,
                 )
             )
             successes = []

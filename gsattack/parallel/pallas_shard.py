@@ -49,6 +49,7 @@ def render_views_sharded(
     pairs_budget: int = 0,
     interpret: bool = False,
     backend: str = "pallas",
+    rect_candidates: int = 0,
 ) -> jnp.ndarray:
     """Sharded multi-view render -> (V, H, W, 3), differentiable w.r.t.
     the (splats-sharded) scene. `interpret=True` runs the kernels in
@@ -110,6 +111,7 @@ def render_views_sharded(
             backend=backend,
             interpret=interpret,
             pairs_budget=pairs_budget,
+            rect_candidates=rect_candidates,
         )
         return out["render"]
 

@@ -161,6 +161,30 @@ def test_sharded_pallas_render_matches_unsharded():
         )
 
 
+def test_attack_render_views_mesh_routes_sharded():
+    """run_dagger's render_views with (mesh, pallas) goes through the
+    shard_map composition and must match the unsharded XLA render."""
+    from gsattack.attack.dagger import render_views
+    from gsattack.core.camera import stack_cameras
+    from gsattack.parallel.shardings import shard_camera_batch
+    from gsattack.render import render
+
+    sc = make_toy_scene(n=96, seed=3)  # 96 % splats(4) == 0
+    cams_list = _views(4)  # 4 % views(2) == 0
+    cams = stack_cameras(cams_list)
+    mesh = make_mesh((2, 4))
+    bg = jnp.array([0.2, 0.4, 0.6])
+    out = render_views(
+        shard_scene(sc, mesh), shard_camera_batch(cams, mesh), bg,
+        32, 8, "pallas", 0, 0, mesh,
+    )
+    for i, cam in enumerate(cams_list):
+        ref = render(sc, cam, bg, max_chunks=8)["render"]
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), atol=1e-5
+        )
+
+
 def test_sharded_pallas_render_fallback_indivisible_tiles():
     """Heights whose tile rows don't divide over the splats axis take the
     replicated (non-banded) path; output must be identical either way."""
