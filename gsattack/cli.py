@@ -182,7 +182,25 @@ def cmd_attack(argv):
         pairs_budget=cfg.get("pairs_budget", 0),
         rect_candidates=cfg.get("rect_candidates", 0),
     )
-    res = run_dagger(scene, views, detector, acfg, frozen_scene=frozen, attack_mask=mask)
+    mesh = None
+    if cfg.get("use_mesh"):
+        import math
+
+        import jax
+
+        from .parallel import make_mesh
+
+        shape = cfg.get("mesh_shape")
+        if shape:
+            mesh = make_mesh(tuple(int(x) for x in shape))
+        else:
+            n_dev = len(jax.devices())
+            views_axis = math.gcd(max(int(cfg.batch_size), 1), n_dev)
+            mesh = make_mesh((views_axis, n_dev // views_axis))
+        logging.info("attack mesh: %s", dict(zip(
+            mesh.axis_names, mesh.devices.shape)))
+    res = run_dagger(scene, views, detector, acfg, frozen_scene=frozen,
+                     attack_mask=mask, mesh=mesh)
     print(
         f"attack finished: success={res.success} iters={res.iterations} "
         f"final_loss={res.losses[-1] if res.losses else None} "

@@ -88,6 +88,26 @@ def test_cli_attack_synthetic(tmp_path, monkeypatch):
     assert rc in (0, 1)  # runs to completion either way
 
 
+def test_cli_attack_synthetic_mesh(tmp_path, monkeypatch):
+    """use_mesh=true builds the (views, splats) mesh from the 8 virtual
+    CPU devices and runs the attack under it end-to-end."""
+    from gsattack.cli import main
+
+    monkeypatch.chdir(REPO)
+    rc = main(
+        [
+            "attack",
+            "max_iters=2",
+            "batch_mode=true",
+            "batch_size=2",
+            "eval_every=5",
+            "use_mesh=true",
+            f"splat_asset_path={tmp_path}",
+        ]
+    )
+    assert rc in (0, 1)
+
+
 def test_cli_unknown_command():
     from gsattack.cli import main
 
