@@ -115,6 +115,7 @@ class Trainer:
         cfg: TrainConfig,
         cameras_extent: float = 1.0,
         classifier: Optional[tuple] = None,  # (weight (C,16), bias (C,))
+        mesh=None,  # jax.sharding.Mesh: shard training over splats
     ):
         self.cfg = cfg
         self.cameras_extent = cameras_extent
@@ -124,6 +125,16 @@ class Trainer:
             else None
         )
         capacity = int(scene.num_points * cfg.capacity_headroom)
+        if mesh is not None:
+            # BASELINE config #5 (sharded CLOAK retraining): per-point
+            # state shards its capacity dim over the splats axis and jit
+            # auto-partitions every step (the fixed-capacity slot
+            # allocator keeps shapes — and therefore shardings — static
+            # across densify/prune). Round capacity up for even shards.
+            from ..parallel.mesh import SPLATS_AXIS
+
+            ns = mesh.shape[SPLATS_AXIS]
+            capacity = -(-capacity // ns) * ns
         scene = scene.pad_to(capacity)
         self.adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
         self.lr_tree = make_lr_tree(cfg)
@@ -133,6 +144,19 @@ class Trainer:
             stats=DensifyStats.zeros(capacity),
             step=jnp.zeros((), jnp.int32),
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import SPLATS_AXIS
+
+            def put(x):
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == capacity:
+                    return jax.device_put(
+                        x, NamedSharding(mesh, P(SPLATS_AXIS))
+                    )
+                return jax.device_put(x, NamedSharding(mesh, P()))
+
+            self.state = jax.tree_util.tree_map(put, self.state)
         self._step_fn = jax.jit(self._train_step)
 
     # ---- one jitted training step ----------------------------------------
