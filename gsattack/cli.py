@@ -372,9 +372,22 @@ def cmd_train(argv):
             cameras_extent=info.nerf_normalization["radius"],
         )
     else:
+        mesh = None
+        if cfg.get("use_mesh"):
+            import jax
+
+            from .parallel import make_mesh
+
+            shape = cfg.get("mesh_shape")
+            n_dev = len(jax.devices())
+            mesh = make_mesh(
+                tuple(int(x) for x in shape) if shape else (1, n_dev)
+            )
+            logging.info("train mesh: %s", dict(zip(
+                mesh.axis_names, mesh.devices.shape)))
         trainer = Trainer(
             scene, tcfg, cameras_extent=info.nerf_normalization["radius"],
-            classifier=classifier,
+            classifier=classifier, mesh=mesh,
         )
         final = trainer.fit(
             cams, gts, iterations=iters,

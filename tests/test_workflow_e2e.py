@@ -132,8 +132,9 @@ def test_full_workflow_train_attack_rendereval_asr(tmp_path, monkeypatch):
         "resolution=1",
     ]
 
-    # ---- 2. cli train --------------------------------------------------
-    rc = main(["train", "--iterations", "120"] + common)
+    # ---- 2. cli train (sharded over the 8-device mesh: use_mesh routes
+    # the Trainer's per-point state over the splats axis) ----------------
+    rc = main(["train", "--iterations", "120", "use_mesh=true"] + common)
     assert rc == 0
     ply = model_dir / "point_cloud" / "iteration_120" / "point_cloud.ply"
     assert ply.exists()
