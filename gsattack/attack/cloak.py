@@ -80,9 +80,11 @@ def run_cloak(
     iterations: int = 2000,
     cameras_extent: float = 1.0,
     log: Callable[[str], None] = print,
+    mesh=None,  # jax.sharding.Mesh: shard the retraining over splats
 ) -> tuple[GaussianScene, list[np.ndarray]]:
     """Poison the selected views and retrain. Returns (poisoned scene,
-    poisoned images)."""
+    poisoned images). With `mesh`, the retraining runs sharded
+    (BASELINE config #5: airport_scene sharded retraining)."""
     train_cfg = train_cfg or TrainConfig()
     images = [np.asarray(g) for g in gt_images]
     poisoned = []
@@ -92,6 +94,8 @@ def run_cloak(
         adv = poison_image(jnp.asarray(images[vi]), detector, bbox, cloak_cfg)
         images[vi] = np.asarray(adv)
         poisoned.append(images[vi])
-    trainer = Trainer(init_scene, train_cfg, cameras_extent=cameras_extent)
+    trainer = Trainer(
+        init_scene, train_cfg, cameras_extent=cameras_extent, mesh=mesh
+    )
     scene = trainer.fit(list(cameras), images, iterations=iterations)
     return scene, poisoned

@@ -356,6 +356,19 @@ def cmd_train(argv):
     cams = [c.build() for c in info.train_cameras]
     gts = [c.image for c in info.train_cameras]
     iters = args.iterations or cfg.iterations
+    mesh = None
+    if cfg.get("use_mesh"):
+        import jax
+
+        from .parallel import make_mesh
+
+        shape = cfg.get("mesh_shape")
+        n_dev = len(jax.devices())
+        mesh = make_mesh(
+            tuple(int(x) for x in shape) if shape else (1, n_dev)
+        )
+        logging.info("train mesh: %s", dict(zip(
+            mesh.axis_names, mesh.devices.shape)))
     if args.poison_views:
         from .attack.cloak import CloakConfig, run_cloak
         from .models import load_detector
@@ -369,22 +382,9 @@ def cmd_train(argv):
         )
         final, _ = run_cloak(
             scene, cams, gts, det, ccfg, train_cfg=tcfg, iterations=iters,
-            cameras_extent=info.nerf_normalization["radius"],
+            cameras_extent=info.nerf_normalization["radius"], mesh=mesh,
         )
     else:
-        mesh = None
-        if cfg.get("use_mesh"):
-            import jax
-
-            from .parallel import make_mesh
-
-            shape = cfg.get("mesh_shape")
-            n_dev = len(jax.devices())
-            mesh = make_mesh(
-                tuple(int(x) for x in shape) if shape else (1, n_dev)
-            )
-            logging.info("train mesh: %s", dict(zip(
-                mesh.axis_names, mesh.devices.shape)))
         trainer = Trainer(
             scene, tcfg, cameras_extent=info.nerf_normalization["radius"],
             classifier=classifier, mesh=mesh,
