@@ -546,6 +546,21 @@ def main():
     ap.add_argument("--no-parity", dest="parity", action="store_false")
     args = ap.parse_args()
 
+    # Fail fast when the axon relay is down: jax.devices() would HANG
+    # (not error) with the tunnel ports closed, wedging the caller.
+    # Probe the device-enumeration port before touching jax.
+    import os
+    import socket
+
+    if "axon" in os.environ.get("JAX_PLATFORMS", "axon"):
+        try:
+            socket.create_connection(("127.0.0.1", 8083), timeout=3).close()
+        except OSError:
+            log("FATAL: axon tunnel port 8083 closed — TPU relay is down; "
+                "refusing to hang in jax.devices(). Retry when the relay "
+                "is back.")
+            return 3
+
     import jax
 
     # Persistent compilation cache: first compiles over the axon remote
@@ -684,4 +699,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
