@@ -530,7 +530,7 @@ def main():
     ap.add_argument("--pairs-budget", type=int, default=-1, help="-1: auto (4*n_points, pallas only)")
     ap.add_argument("--mode", default="raster",
                     choices=["raster", "raster-views", "pgd", "stages",
-                             "bisect"])
+                             "bisect", "scale"])
     ap.add_argument("--views", type=int, default=2)
     ap.add_argument("--objects", action="store_true", help="blend the 16 grouping channels too")
     ap.add_argument("--mesh", action="store_true", help="shard PGD over a (views, splats) mesh (multi-device)")
@@ -551,8 +551,13 @@ def main():
     # Probe the device-enumeration port before touching jax.
     import os
     import socket
+    import sys as _sys
 
-    if "axon" in os.environ.get("JAX_PLATFORMS", "axon"):
+    cpu_forced = os.environ.get("JAX_PLATFORMS", "") == "cpu" or (
+        "jax" in _sys.modules
+        and _sys.modules["jax"].config.jax_platforms == "cpu"
+    )
+    if not cpu_forced and "axon" in os.environ.get("JAX_PLATFORMS", "axon"):
         try:
             socket.create_connection(("127.0.0.1", 8083), timeout=3).close()
         except OSError:
@@ -631,6 +636,36 @@ def main():
                 }
             )
         )
+        return
+    if args.mode == "scale":
+        # Scaling-efficiency harness (SURVEY §7 stage 7: >=80% 1 chip ->
+        # multi-chip): same PGD workload replicated on one device, then
+        # sharded over the full (views, splats) mesh; efficiency =
+        # speedup / n_devices. On one real chip this degenerates to ~1;
+        # it becomes meaningful the day a multi-chip slice is attached
+        # (and on the virtual CPU mesh it exercises the harness itself).
+        n_dev = len(jax.devices())
+        ips1 = bench_pgd(
+            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
+            args.backend, args.views, budget, False, args.rect,
+            args.detector, args.det_weights,
+        )
+        ips_n = bench_pgd(
+            scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
+            args.backend, args.views, budget, True, args.rect,
+            args.detector, args.det_weights,
+        )
+        eff = ips_n / ips1 / n_dev
+        log(f"scale: single {ips1:.3f} it/s, {n_dev}-device mesh "
+            f"{ips_n:.3f} it/s, efficiency {eff:.3f}")
+        print(json.dumps({
+            "metric": "pgd_scaling_efficiency",
+            "value": round(eff, 4),
+            "unit": f"x{n_dev}dev",
+            "vs_baseline": 1.0,
+            "single_it_per_s": round(ips1, 4),
+            "mesh_it_per_s": round(ips_n, 4),
+        }))
         return
     if args.mode == "stages":
         bench_stages(
