@@ -565,6 +565,19 @@ def main():
                 "refusing to hang in jax.devices(). Retry when the relay "
                 "is back.")
             return 3
+        # The chip is single-tenant: two TPU processes starve each other.
+        # Serialize benches behind a host-wide lock (held for the whole
+        # run; waiting is better than corrupting both runs' timings).
+        import fcntl
+
+        lockf = open("/tmp/gsattack_tpu.lock", "w")
+        try:
+            fcntl.flock(lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            log("another TPU bench holds /tmp/gsattack_tpu.lock — waiting "
+                "for it to finish...")
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+        globals()["_tpu_lock"] = lockf  # keep the fd (and lock) alive
 
     import jax
 
