@@ -12,8 +12,20 @@ transpose only at the (rare) interop boundaries.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _safe_unit_quat(q: jnp.ndarray) -> jnp.ndarray:
+    """q / ||q|| with a finite gradient at ||q|| = 0 (a zero quat — from an
+    attacked rotation attribute or a corrupt PLY — must not NaN every
+    parameter's gradient through the normalization's 0/0). The epsilon is
+    far below f32 resolution: ||q||^2 + 1e-24 rounds to ||q||^2 for any
+    valid quat, so the normal path is bit-identical to the plain form."""
+    return q * jax.lax.rsqrt(
+        jnp.sum(q * q, axis=-1, keepdims=True) + 1e-24
+    )
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -21,7 +33,7 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
     Matches `utils/general_utils.py:78-99` (normalizes first).
     """
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    q = _safe_unit_quat(q)
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     row0 = jnp.stack(
         [1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], axis=-1
@@ -86,7 +98,7 @@ def covariance6(s: jnp.ndarray, q: jnp.ndarray, modifier: float = 1.0) -> jnp.nd
     the matmul form cost ~5 ms of the projection BACKWARD at N=100k where
     this form is a fused VPU map (same r1 lesson as the elementwise EWA
     quad in ops/project.compute_cov2d)."""
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    q = _safe_unit_quat(q)
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - r * z)
