@@ -231,3 +231,44 @@ def test_colmap_binary_roundtrip(tmp_path):
     assert xyz.shape == (2, 3)
     np.testing.assert_allclose(xyz[1], [2.0, 2.0, 3.0])
     np.testing.assert_allclose(rgb[0], [10, 20, 30])
+
+
+def test_corrupt_ply_inputs_raise_clean_valueerror(tmp_path):
+    """Truncated / garbage / headerless PLYs must fail with ValueError,
+    not crash deeper in numpy or silently mis-load."""
+    import pytest
+
+    sc = make_toy_scene(n=20, max_sh_degree=1)
+    good = tmp_path / "good.ply"
+    save_scene_ply(sc, str(good))
+    raw = good.read_bytes()
+
+    (tmp_path / "trunc.ply").write_bytes(raw[: len(raw) // 2])
+    (tmp_path / "garbage.ply").write_bytes(b"not a ply at all\n" * 10)
+    (tmp_path / "nohdr.ply").write_bytes(raw[raw.index(b"end_header"):])
+    for name in ("trunc.ply", "garbage.ply", "nohdr.ply"):
+        with pytest.raises(ValueError):
+            load_scene_ply(str(tmp_path / name), max_sh_degree=1)
+
+
+def test_non_pinhole_colmap_model_raises(tmp_path):
+    import pytest
+
+    sparse = tmp_path / "sparse" / "0"
+    os.makedirs(sparse)
+    cm.write_intrinsics_text(
+        str(sparse / "cameras.txt"),
+        {1: cm.ColmapCamera(1, "PINHOLE", 64, 48,
+                            np.array([60.0, 60.0, 32.0, 24.0]))},
+    )
+    txt = (sparse / "cameras.txt").read_text().replace(
+        "PINHOLE", "OPENCV_FISHEYE")
+    (sparse / "cameras.txt").write_text(txt)
+    cm.write_extrinsics_text(
+        str(sparse / "images.txt"),
+        {1: cm.ColmapImage(1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1,
+                           "a.png", np.zeros((0, 2)), np.zeros(0, int))},
+    )
+    (sparse / "points3D.txt").write_text("# none\n")
+    with pytest.raises(ValueError, match="not handled"):
+        load_scene_info(str(tmp_path))
