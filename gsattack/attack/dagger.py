@@ -119,11 +119,17 @@ def render_views(
     if backend == "pallas" and mesh is not None:
         from ..parallel.mesh import SPLATS_AXIS, VIEWS_AXIS
         from ..parallel.pallas_shard import render_views_sharded
+        from ..parallel.shardings import pad_to_multiple
 
         n_views = cams.view.shape[0]
-        n_splats = scene.xyz.shape[0]
-        if (n_views % mesh.shape[VIEWS_AXIS] == 0
-                and n_splats % mesh.shape[SPLATS_AXIS] == 0):
+        if n_views % mesh.shape[VIEWS_AXIS] == 0:
+            # A splat count off the splats axis (e.g. the eval overlay
+            # scene, adv.concat(frozen)) is padded with dead splats so
+            # the shard_map path still applies.
+            n_splats = scene.xyz.shape[0]
+            ns = mesh.shape[SPLATS_AXIS]
+            if n_splats % ns:
+                scene = scene.pad_to(pad_to_multiple(n_splats, ns))
             return render_views_sharded(
                 scene, cams, bg, mesh,
                 pairs_per_gaussian=pairs_per_gaussian,
@@ -132,6 +138,10 @@ def render_views(
                 interpret=jax.default_backend() == "cpu",
                 rect_candidates=rect_candidates,
             )
+        # A view batch off the views axis cannot take the shard_map
+        # path, and a GSPMD-partitioned pallas custom call is unsupported
+        # (crashes XLA fusion) — drop to the XLA blend for this call.
+        backend = "xla"
 
     if backend == "pallas":
         from ..ops.project import project

@@ -127,6 +127,32 @@ def _detector_kwargs(cfg):
     return kw
 
 
+def _mesh_from_cfg(cfg, label, views_hint=1):
+    """Build the (views, splats) mesh from `use_mesh`/`mesh_shape` config
+    knobs (None when use_mesh is off). Auto shape: the views axis is the
+    largest divisor of the devices count that also divides `views_hint`
+    (the actual per-step view batch — 1 for training and non-batch
+    attacks); the rest go to splats."""
+    if not cfg.get("use_mesh"):
+        return None
+    import math
+
+    import jax
+
+    from .parallel import make_mesh
+
+    shape = cfg.get("mesh_shape")
+    if shape:
+        mesh = make_mesh(tuple(int(x) for x in shape))
+    else:
+        n_dev = len(jax.devices())
+        views_axis = math.gcd(max(int(views_hint), 1), n_dev)
+        mesh = make_mesh((views_axis, n_dev // views_axis))
+    logging.info("%s mesh: %s", label, dict(zip(
+        mesh.axis_names, mesh.devices.shape)))
+    return mesh
+
+
 def cmd_attack(argv):
     from .attack import AttackConfig, run_dagger
     from .models import load_detector
@@ -182,23 +208,10 @@ def cmd_attack(argv):
         pairs_budget=cfg.get("pairs_budget", 0),
         rect_candidates=cfg.get("rect_candidates", 0),
     )
-    mesh = None
-    if cfg.get("use_mesh"):
-        import math
-
-        import jax
-
-        from .parallel import make_mesh
-
-        shape = cfg.get("mesh_shape")
-        if shape:
-            mesh = make_mesh(tuple(int(x) for x in shape))
-        else:
-            n_dev = len(jax.devices())
-            views_axis = math.gcd(max(int(cfg.batch_size), 1), n_dev)
-            mesh = make_mesh((views_axis, n_dev // views_axis))
-        logging.info("attack mesh: %s", dict(zip(
-            mesh.axis_names, mesh.devices.shape)))
+    # The PGD view batch is batch_size views only in batch_mode; otherwise
+    # the attack steps one view at a time and the views axis must be 1.
+    eff_batch = int(cfg.batch_size) if cfg.batch_mode else 1
+    mesh = _mesh_from_cfg(cfg, "attack", views_hint=max(eff_batch, 1))
     res = run_dagger(scene, views, detector, acfg, frozen_scene=frozen,
                      attack_mask=mask, mesh=mesh)
     print(
@@ -356,19 +369,8 @@ def cmd_train(argv):
     cams = [c.build() for c in info.train_cameras]
     gts = [c.image for c in info.train_cameras]
     iters = args.iterations or cfg.iterations
-    mesh = None
-    if cfg.get("use_mesh"):
-        import jax
-
-        from .parallel import make_mesh
-
-        shape = cfg.get("mesh_shape")
-        n_dev = len(jax.devices())
-        mesh = make_mesh(
-            tuple(int(x) for x in shape) if shape else (1, n_dev)
-        )
-        logging.info("train mesh: %s", dict(zip(
-            mesh.axis_names, mesh.devices.shape)))
+    # Training steps one camera at a time -> views axis 1.
+    mesh = _mesh_from_cfg(cfg, "train", views_hint=1)
     if args.poison_views:
         from .attack.cloak import CloakConfig, run_cloak
         from .models import load_detector

@@ -59,7 +59,9 @@ class GaussianScene:
 
     @property
     def rotation(self) -> jnp.ndarray:
-        return self.quat / jnp.linalg.norm(self.quat, axis=-1, keepdims=True)
+        from .transforms import _safe_unit_quat
+
+        return _safe_unit_quat(self.quat)
 
     @property
     def opacity(self) -> jnp.ndarray:

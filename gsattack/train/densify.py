@@ -197,11 +197,15 @@ def grow_capacity(
     stats: DensifyStats,
     factor: float = 1.5,
     moments=None,
+    round_to: int = 1,
 ):
     """Host-side capacity growth when free slots run out (outside jit).
     `moments` trees (if given) are zero-padded to the new capacity so
-    surviving points keep their optimizer state."""
+    surviving points keep their optimizer state. `round_to` rounds the
+    new capacity up to a multiple (even splats-axis shards under a
+    mesh)."""
     new_cap = int(scene.num_points * factor)
+    new_cap = ((new_cap + round_to - 1) // round_to) * round_to
     padded = scene.pad_to(new_cap)
     c = new_cap
     n = scene.num_points

@@ -125,6 +125,8 @@ class Trainer:
             else None
         )
         capacity = int(scene.num_points * cfg.capacity_headroom)
+        self._mesh = mesh
+        self._splats_mult = 1
         if mesh is not None:
             # BASELINE config #5 (sharded CLOAK retraining): per-point
             # state shards its capacity dim over the splats axis and jit
@@ -132,32 +134,42 @@ class Trainer:
             # allocator keeps shapes — and therefore shardings — static
             # across densify/prune). Round capacity up for even shards.
             from ..parallel.mesh import SPLATS_AXIS
+            from ..parallel.shardings import pad_to_multiple
 
-            ns = mesh.shape[SPLATS_AXIS]
-            capacity = -(-capacity // ns) * ns
+            self._splats_mult = mesh.shape[SPLATS_AXIS]
+            capacity = pad_to_multiple(capacity, self._splats_mult)
         scene = scene.pad_to(capacity)
         self.adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
         self.lr_tree = make_lr_tree(cfg)
-        self.state = TrainState(
+        self.state = self._shard_state(TrainState(
             scene=scene,
             opt_state=self.adam.init(scene.params()),
             stats=DensifyStats.zeros(capacity),
             step=jnp.zeros((), jnp.int32),
-        )
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..parallel.mesh import SPLATS_AXIS
-
-            def put(x):
-                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == capacity:
-                    return jax.device_put(
-                        x, NamedSharding(mesh, P(SPLATS_AXIS))
-                    )
-                return jax.device_put(x, NamedSharding(mesh, P()))
-
-            self.state = jax.tree_util.tree_map(put, self.state)
+        ))
         self._step_fn = jax.jit(self._train_step)
+
+    def _shard_state(self, state: "TrainState") -> "TrainState":
+        """Re-apply the splats-axis sharding to the whole TrainState
+        (no-op without a mesh). Must run after any host-side capacity
+        change (grow_capacity) or the state silently reverts to the
+        default unsharded layout."""
+        if self._mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import SPLATS_AXIS
+
+        capacity = state.scene.xyz.shape[0]
+
+        def put(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == capacity:
+                return jax.device_put(
+                    x, NamedSharding(self._mesh, P(SPLATS_AXIS))
+                )
+            return jax.device_put(x, NamedSharding(self._mesh, P()))
+
+        return jax.tree_util.tree_map(put, state)
 
     # ---- one jitted training step ----------------------------------------
 
@@ -255,9 +267,11 @@ class Trainer:
             max_screen_size=cfg.max_screen_size,
             use_screen_limit=use_screen,
         )
-        if int(dropped) > 0:
+        grew = int(dropped) > 0
+        if grew:
             scene, stats, moments = grow_capacity(
-                scene, stats, cfg.capacity_headroom, moments=moments
+                scene, stats, cfg.capacity_headroom, moments=moments,
+                round_to=self._splats_mult,
             )
         self.state = TrainState(
             scene=scene,
@@ -265,6 +279,9 @@ class Trainer:
             stats=stats,
             step=self.state.step,
         )
+        if grew:
+            # capacity changed on the host: restore the mesh layout
+            self.state = self._shard_state(self.state)
 
     def maybe_reset_opacity(self, iteration: int) -> None:
         cfg = self.cfg

@@ -136,7 +136,11 @@ def test_dagger_with_mesh():
 # ---------------------------------------------------------------------------
 
 
-def _views(n, w=48, h=48):
+def _views(n, w=48, h=64):
+    # h=64 -> tiles_y=4 divides the (2, 4) mesh's splats axis, so the
+    # sharded-pallas tests below exercise the tile-BANDED path; the
+    # dedicated fallback test uses h=48 (tiles_y=3) for the replicated
+    # branch.
     return [make_toy_camera(width=w, height=h, z=0.1 * i) for i in range(n)]
 
 
@@ -178,6 +182,52 @@ def test_attack_render_views_mesh_routes_sharded():
         shard_scene(sc, mesh), shard_camera_batch(cams, mesh), bg,
         32, 8, "pallas", 0, 0, mesh,
     )
+    for i, cam in enumerate(cams_list):
+        ref = render(sc, cam, bg, max_chunks=8)["render"]
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), atol=1e-5
+        )
+
+
+def test_attack_render_views_mesh_pads_indivisible_splats():
+    """The eval overlay scene (adv.concat(frozen)) rarely divides the
+    splats axis; render_views must pad with dead splats and still take
+    the sharded path (reproduced crash: plain-pallas fallback without
+    interpret)."""
+    from gsattack.attack.dagger import render_views
+    from gsattack.core.camera import stack_cameras
+    from gsattack.parallel.shardings import shard_camera_batch
+    from gsattack.render import render
+
+    sc = make_toy_scene(n=101, seed=3)  # 101 % 4 != 0
+    cams_list = _views(2)
+    cams = stack_cameras(cams_list)
+    mesh = make_mesh((2, 4))
+    bg = jnp.array([0.2, 0.4, 0.6])
+    out = render_views(
+        sc, shard_camera_batch(cams, mesh), bg, 32, 8, "pallas", 0, 0, mesh,
+    )
+    for i, cam in enumerate(cams_list):
+        ref = render(sc, cam, bg, max_chunks=8)["render"]
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), atol=1e-5
+        )
+
+
+def test_attack_render_views_mesh_views_indivisible_falls_back_xla():
+    """A view batch off the views axis cannot shard_map; render_views
+    must drop to the XLA blend (GSPMD over the pallas call is
+    unsupported), not crash."""
+    from gsattack.attack.dagger import render_views
+    from gsattack.core.camera import stack_cameras
+    from gsattack.render import render
+
+    sc = make_toy_scene(n=96, seed=3)
+    cams_list = _views(3)  # 3 % views(2) != 0
+    cams = stack_cameras(cams_list)
+    mesh = make_mesh((2, 4))
+    bg = jnp.array([0.2, 0.4, 0.6])
+    out = render_views(sc, cams, bg, 32, 8, "pallas", 0, 0, mesh)
     for i, cam in enumerate(cams_list):
         ref = render(sc, cam, bg, max_chunks=8)["render"]
         np.testing.assert_allclose(

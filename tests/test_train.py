@@ -308,6 +308,39 @@ def test_trainer_sharded_over_mesh_trains_through_densify():
     assert np.isfinite(np.asarray(trainer.state.scene.xyz)).all()
 
 
+def test_trainer_sharded_capacity_growth_keeps_even_shards():
+    """A densify overflow grows capacity on the host; under a mesh the
+    new capacity must stay a splats-axis multiple and the state must be
+    re-sharded (regression: grow_capacity silently dropped the layout)."""
+    from gsattack.parallel import make_mesh
+    from gsattack.parallel.mesh import SPLATS_AXIS
+    from gsattack.render import render
+
+    target = make_toy_scene(n=48, seed=5)
+    cam = make_toy_camera(width=32, height=32)
+    gt = jnp.asarray(np.asarray(render(target, cam, jnp.zeros(3))["render"]))
+    mesh = make_mesh((2, 4))
+    cfg = TrainConfig(
+        capacity_headroom=1.05,  # overflow on the first densify
+        densify_from_iter=1, densification_interval=2,
+        densify_until_iter=100, densify_grad_threshold=1e-9,
+        sh_increase_interval=10_000, opacity_reset_interval=10_000,
+    )
+    trainer = Trainer(make_toy_scene(n=48, seed=9), cfg, mesh=mesh)
+    cap0 = trainer.state.scene.xyz.shape[0]
+    ns = mesh.shape[SPLATS_AXIS]
+    for it in range(1, 9):
+        trainer.train_step(cam, gt)
+        trainer.maybe_densify(it, jax.random.PRNGKey(it))
+    cap1 = trainer.state.scene.xyz.shape[0]
+    assert cap1 > cap0  # growth happened
+    assert cap1 % ns == 0  # still evenly shardable
+    sh = trainer.state.scene.xyz.sharding
+    assert SPLATS_AXIS in getattr(sh, "spec", ())  # layout restored
+    loss = trainer.train_step(cam, gt)  # still trains at the new capacity
+    assert np.isfinite(float(loss))
+
+
 def test_cloak_poisoning_changes_images_and_trains():
     from gsattack.attack.cloak import CloakConfig, poison_image, run_cloak
     from gsattack.models import ToyDetector
