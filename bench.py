@@ -579,6 +579,25 @@ def main():
             fcntl.flock(lockf, fcntl.LOCK_EX)
         globals()["_tpu_lock"] = lockf  # keep the fd (and lock) alive
 
+        # The relay has a half-down failure mode (observed: multi-hour
+        # outages) where the ports ACCEPT but every RPC blocks forever, so
+        # the port probe above passes and jax.devices() still hangs. Probe
+        # enumeration in a subprocess with a hard timeout before wedging
+        # this process (and its caller) on it. Normal enumeration is
+        # seconds; 180s is outage, not load.
+        import subprocess
+
+        try:
+            subprocess.run(
+                [_sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=180, capture_output=True,
+            )
+        except subprocess.TimeoutExpired:
+            log("FATAL: axon relay accepts TCP but device enumeration hung "
+                ">180s — TPU tunnel is wedged; refusing to hang. Retry "
+                "when the relay is back.")
+            return 3
+
     import jax
 
     # Persistent compilation cache: first compiles over the axon remote

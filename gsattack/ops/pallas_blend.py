@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -490,6 +491,39 @@ def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
 pallas_blend_views.defvjp(_blend_fwd, _blend_bwd)
 
 
+@jax.custom_vjp
+def _gather_pack_T(unified, src_gauss):
+    """The differentiable core of pack_pairs: row-gather the unified
+    per-gaussian array through the slot->gaussian map and transpose to the
+    field-major kernel layout. Slots mapping to the sacrificial row n read
+    zeros (and discard their cotangents).
+
+    custom_vjp rather than plain AD for a measured in-context cost: under
+    jax.grad inside the full render graph, XLA's scheduling of the AD-
+    generated transpose+scatter (and its freedom to rematerialize the
+    index-construction chain) costs several ms that the isolated gather
+    does not; pinning src_gauss as the only residual and hand-writing the
+    scatter keeps the backward at its isolated cost."""
+    zero_row = jnp.zeros((1, unified.shape[1]), unified.dtype)
+    return jnp.concatenate([unified, zero_row])[src_gauss].T
+
+
+def _gather_pack_T_fwd(unified, src_gauss):
+    return _gather_pack_T(unified, src_gauss), (src_gauss, unified.shape[0])
+
+
+def _gather_pack_T_bwd(res, g):
+    src_gauss, n = res
+    # g: (W, P_pad) field-major cotangent from the blend kernel's VJP.
+    dunified = (
+        jnp.zeros((n + 1, g.shape[0]), g.dtype).at[src_gauss].add(g.T)[:n]
+    )
+    return dunified, np.zeros(src_gauss.shape, jax.dtypes.float0)
+
+
+_gather_pack_T.defvjp(_gather_pack_T_fwd, _gather_pack_T_bwd)
+
+
 def pack_pairs(
     geom_all: jnp.ndarray,  # (N, GEOM_W) per-GAUSSIAN geometry
     channels: jnp.ndarray,  # (N, CH) per-gaussian colors
@@ -607,6 +641,5 @@ def pack_pairs(
     # gathers are latency-bound per row, not width-bound) and an extra DMA
     # per chunk inside the kernels.
     unified = jnp.concatenate([geom_all, channels], axis=1)
-    zero_row = jnp.zeros((1, unified.shape[1]), unified.dtype)
-    packed = jnp.concatenate([unified, zero_row])[src_gauss].T
+    packed = _gather_pack_T(unified, src_gauss)
     return packed, packed_start, packed_end, ch_pad, num_budget_dropped

@@ -1,0 +1,80 @@
+"""Microbenchmark the pack-pairs primitives on the TPU.
+
+Isolates the candidate costs of the packed-pair layout rebuild:
+  * row gather at padded (338k) vs compact (192k) slot counts
+  * the field-major transpose (.T) after the gather
+  * the backward (transpose + scatter-add) at both sizes
+
+Each timing threads an inert per-iteration epsilon through the float
+operand (CLAUDE.md: the axon result cache returns repeated identical
+calls instantly and fakes constant-input timing loops).
+
+Usage: python scripts/micro_pack.py [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--w", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gsattack_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    print("devices:", jax.devices())
+
+    rng = np.random.default_rng(0)
+    n, w = args.n, args.w
+    unified = jnp.asarray(rng.normal(size=(n + 1, w)).astype(np.float32))
+
+    def timed(name, fn, *fargs):
+        jfn = jax.jit(fn)
+        out = jax.block_until_ready(jfn(jnp.float32(0.0), *fargs))
+        eps_seq = jax.block_until_ready(
+            [jnp.float32((i + 1) * 1e-30) for i in range(args.iters)]
+        )
+        t0 = time.perf_counter()
+        for e in eps_seq:
+            out = jfn(e, *fargs)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"{name}: {dt:.3f} ms")
+        return dt
+
+    for p in (192_000 // 128 * 128, 338_432):
+        idx = jnp.asarray(
+            rng.integers(0, n + 1, size=(p,)).astype(np.int32))
+        cot_sm = jnp.asarray(rng.normal(size=(p, w)).astype(np.float32))
+        cot_fm = cot_sm.T
+
+        timed(f"gather {p} slot-major (P,{w})",
+              lambda e, u, i: (u + e)[i], unified, idx)
+        timed(f"gather+T {p} field-major ({w},P)",
+              lambda e, u, i: (u + e)[i].T, unified, idx)
+        timed(f"transpose ({w},{p}) -> ({p},{w})",
+              lambda e, c: (c + e).T, cot_fm)
+        timed(f"scatter-add {p} rows",
+              lambda e, c, i: jnp.zeros((n + 1, w), jnp.float32).at[i].add(
+                  c + e), cot_sm, idx)
+        timed(f"T+scatter-add {p} (bwd of gather+T)",
+              lambda e, c, i: jnp.zeros((n + 1, w), jnp.float32).at[i].add(
+                  (c + e).T), cot_fm, idx)
+        # the real composition: grad of sum(packed * cot) wrt unified
+        timed(f"AD bwd of gather+T {p}",
+              lambda e, c, i: jax.grad(
+                  lambda u: jnp.vdot((u + e)[i].T, c))(unified), cot_fm, idx)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,72 @@ def test_pack_pairs_matches_brute_force(seed, n, num_tiles, max_count, budget):
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+@pytest.mark.parametrize("seed,budget", [(11, 0), (12, 512)])
+def test_pack_pairs_custom_vjp_matches_ad(seed, budget):
+    """The hand-written pack backward (scatter-add through src_gauss) must
+    equal plain JAX AD through an index-identical gather composition —
+    including cotangents landing on budget-dropped and padding slots."""
+    import jax
+
+    geom, channels, gauss_idx, ts, te = random_problem(seed, 24, 6, 70)
+    args = (
+        jnp.asarray(gauss_idx, jnp.int32),
+        jnp.asarray(ts, jnp.int32),
+        jnp.asarray(te, jnp.int32),
+    )
+
+    def loss(g, c):
+        packed = pack_pairs(jnp.asarray(g), jnp.asarray(c), *args,
+                            budget=budget)[0]
+        # nonuniform weighting so slot placement errors show up in grads
+        w = jnp.sin(jnp.arange(packed.size, dtype=jnp.float32)).reshape(
+            packed.shape
+        )
+        return jnp.sum(packed * w)
+
+    def loss_ad(g, c):
+        # same math via plain AD: rebuild the gather with stop_grad indices
+        from gsattack.ops.pallas_blend import _gather_pack_T
+
+        packed_ref, *_ = pack_pairs(
+            jnp.asarray(g), jnp.asarray(c), *args, budget=budget
+        )
+        # recover src_gauss by matching: recompute through the public fn is
+        # circular, so instead drive AD through the custom-vjp-free core by
+        # calling its underlying python impl
+        unified = jnp.concatenate([jnp.asarray(g), jnp.asarray(c)], axis=1)
+        n = unified.shape[0]
+        # src_gauss reconstruction: gather positions where packed equals the
+        # unified rows is ambiguous; instead use jax.custom_vjp's own fwd
+        # primal (identical indexing) and differentiate the reference
+        # composition directly:
+        src = _pack_src_indices(g, c, args, budget)
+        zero_row = jnp.zeros((1, unified.shape[1]), unified.dtype)
+        packed = jnp.concatenate([unified, zero_row])[src].T
+        w = jnp.sin(jnp.arange(packed.size, dtype=jnp.float32)).reshape(
+            packed.shape
+        )
+        return jnp.sum(packed * w)
+
+    def _pack_src_indices(g, c, args, budget):
+        # derive the slot->gaussian map by packing row indices as payload
+        n = g.shape[0]
+        marker = jnp.arange(n, dtype=jnp.float32)[:, None]
+        mgeom = jnp.broadcast_to(marker, (n, GEOM_W))
+        mch = jnp.broadcast_to(marker, (n, c.shape[1]))
+        mpacked, ps, pe, _, _ = pack_pairs(mgeom, mch, *args, budget=budget)
+        slot_q = jnp.arange(mpacked.shape[1])
+        end_map = jnp.zeros(mpacked.shape[1], bool)
+        for s, e in zip(np.asarray(ps), np.asarray(pe)):
+            end_map = end_map | ((slot_q >= s) & (slot_q < e))
+        return jnp.where(end_map, mpacked[0].astype(jnp.int32), n)
+
+    g1, c1 = jax.grad(loss, argnums=(0, 1))(geom, channels)
+    g2, c2 = jax.grad(loss_ad, argnums=(0, 1))(geom, channels)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
+
+
 def test_pack_pairs_channel_padding():
     """Non-multiple-of-8 channel counts pad with zero rows."""
     geom, channels, gauss_idx, ts, te = random_problem(7, 16, 4, 50)
