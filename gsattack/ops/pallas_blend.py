@@ -105,7 +105,7 @@ def _exact_bf16_dot(x, m):
     return out + jnp.dot(lo, mb, preferred_element_type=jnp.float32)
 
 
-def _forward_chunk_blend(alpha, T_in, done_in):
+def _forward_chunk_blend(alpha, T_in, done_in, want_state: bool = True):
     """Forward compositing for one chunk, (P, K) orientation.
 
     T_in/done_in are (P, 1) columns. Returns (w, T_out, done_out).
@@ -117,7 +117,11 @@ def _forward_chunk_blend(alpha, T_in, done_in):
     (effective) tri matmul was redundant, as were the exp(cum_incl) and
     exp(sum) passes: t_incl = t_exc * (1 - alpha) elementwise, and the
     chunk-exit T is t_incl at the last non-frozen lane (the min over
-    non-frozen lanes, by monotonicity)."""
+    non-frozen lanes, by monotonicity).
+
+    `want_state=False` (backward replay) skips the chunk-exit (T, done)
+    reductions — the backward reloads the saved boundary record instead,
+    so computing them is pure wasted VPU work."""
     k = alpha.shape[1]
     lg = jnp.log1p(-alpha)
     cum_exc = _exact_bf16_dot(lg, _tri_lanes(k, True))
@@ -126,6 +130,8 @@ def _forward_chunk_blend(alpha, T_in, done_in):
     frozen = (t_incl < T_EPS) | (done_in > 0.5)
     alpha_eff = jnp.where(frozen, 0.0, alpha)
     w = alpha_eff * t_exc  # (P, K)
+    if not want_state:
+        return w, None, None, alpha_eff, t_exc
     T_out = jnp.min(jnp.where(frozen, T_in, t_incl), axis=1, keepdims=True)
     crossed = jnp.max(
         jnp.where((t_incl < T_EPS) & (alpha > 0.0), 1.0, 0.0), axis=1,
@@ -281,10 +287,12 @@ def _bwd_kernel(
         t_signed = tchk_ref[0, 0, k].reshape(P_PIX, 1)
         T_in = jnp.abs(t_signed)
         done_in = jnp.where(t_signed < 0.0, 1.0, 0.0)
-        alpha, alpha_pre, clamped, dx, dy, power = _chunk_alpha(
+        alpha, alpha_pre, clamped, dx, dy, _ = _chunk_alpha(
             geom, _valid_row(base, e), pxf, pyf
         )
-        w, _, _, alpha_eff, t_exc = _forward_chunk_blend(alpha, T_in, done_in)
+        w, _, _, alpha_eff, t_exc = _forward_chunk_blend(
+            alpha, T_in, done_in, want_state=False
+        )
 
         # cg[p, j] = col[:, j] . gC[:, p]  -> contract channel dim
         cg = jax.lax.dot_general(
@@ -296,15 +304,21 @@ def _bwd_kernel(
         wcg = w * cg
         # within-chunk suffix: suffix[:, i] = sum_{j > i} wcg[:, j]
         suffix = _exact_bf16_dot(wcg, _tri_lanes(CHUNK, True).T)
+        # S was seeded with gT_term (the T_final * gT gradient-through-
+        # transmittance term enters dalpha exactly like a suffix weight),
+        # so one S_after covers both terms of the old
+        # `- S*inv - gT_term*inv`.
         S_after = suffix + S  # (P, K) + (P, 1)
         one_m = 1.0 - alpha_eff
         live = alpha_eff > 0.0
         inv_one_m = jnp.where(live, 1.0 / jnp.maximum(one_m, 1e-3), 0.0)
-        dalpha = t_exc * cg - S_after * inv_one_m - gT_term * inv_one_m
+        dalpha = t_exc * cg - S_after * inv_one_m
         dalpha = jnp.where(live, dalpha, 0.0)
-        dz = jnp.where(clamped, 0.0, dalpha)
-        dop_map = dz * jnp.exp(jnp.minimum(power, 0.0))
-        dpower = jnp.where(power <= 0.0, dz * alpha_pre, 0.0)  # (P, K)
+        # dpower = dz * alpha_pre needs no power<=0 mask: live (hence
+        # dalpha, hence dz) is already zero wherever power > 0. And
+        # d/d_opacity = dz * exp(min(power,0)) = dpower / op — the (P, K)
+        # exp map is redundant; divide the REDUCED (K,) row instead.
+        dpower = jnp.where(clamped, 0.0, dalpha) * alpha_pre  # (P, K)
 
         A = geom[2:3, :]
         B = geom[3:4, :]
@@ -315,7 +329,10 @@ def _bwd_kernel(
         dA = jnp.sum(dpower * (-0.5 * dx * dx), axis=0)
         dB = jnp.sum(dpower * (-dx * dy), axis=0)
         dC = jnp.sum(dpower * (-0.5 * dy * dy), axis=0)
-        dop = jnp.sum(dop_map, axis=0)
+        op_row = geom[5, :]
+        dop = jnp.sum(dpower, axis=0) * jnp.where(
+            op_row > 0.0, 1.0 / jnp.maximum(op_row, 1e-12), 0.0
+        )
         zero = jnp.zeros_like(dop)
         dgeom = jnp.stack([dmx, dmy, dA, dB, dC, dop, zero, zero], axis=0)
         # dcol (CH, K) = gC (CH, P) @ w (P, K)
@@ -326,7 +343,10 @@ def _bwd_kernel(
         dma_out(k, slot).start()
         return S + jnp.sum(wcg, axis=1, keepdims=True)
 
-    jax.lax.fori_loop(0, nchunks, bwd_body, jnp.zeros((P_PIX, 1), jnp.float32))
+    # Seed the suffix accumulator with the transmittance-gradient term:
+    # dalpha's `- (sum_{j>i} w_j cg_j + T_final gT) / (1 - alpha_i)` treats
+    # gT_term exactly like a weight contributed past the last pair.
+    jax.lax.fori_loop(0, nchunks, bwd_body, gT_term)
 
     # Drain the last (up to two) outstanding output copies: chunks 1 and 0.
     @pl.when(nchunks >= 2)
