@@ -27,6 +27,20 @@ from ..core.camera import Camera
 from ..core.scene import GaussianScene
 
 
+def _affine3(xyz: jnp.ndarray, rot: jnp.ndarray, trans) -> jnp.ndarray:
+    """(N, 3) @ rot.T + trans as explicit elementwise VPU maps.
+
+    A (N, 3) x (3, 3) matmul pads the contraction dim 3 -> 128 on the MXU
+    (~40x wasted tiles) and, worse, breaks XLA fusion around it; nine
+    scalar-broadcast FMAs fuse into the surrounding projection map (same
+    lesson as the covariance6 rewrite, CLAUDE.md r2)."""
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    cols = [
+        x * rot[i, 0] + y * rot[i, 1] + z * rot[i, 2] + trans[i]
+        for i in range(rot.shape[0])
+    ]
+    return jnp.stack(cols, axis=-1)
+
 
 class ProjectedGaussians(NamedTuple):
     """Screen-space quantities for every Gaussian (dense over capacity N)."""
@@ -57,7 +71,7 @@ def compute_cov2d(
 ) -> jnp.ndarray:
     """EWA splatting: project 3D covariance to 2D screen space. (N,3) packed
     (cov_xx, cov_xy, cov_yy) with the +0.3 low-pass on the diagonal."""
-    t = (xyz @ view[:3, :3].T) + view[:3, 3]  # view-space positions (N,3)
+    t = _affine3(xyz, view[:3, :3], view[:3, 3])  # view-space positions (N,3)
     # Double-where guard: points at/behind the near plane are culled later,
     # but a raw 1/tz would poison *gradients* of masked-out lanes with NaNs.
     tz = jnp.where(t[:, 2] > 0.2, t[:, 2], 1.0)
@@ -114,13 +128,12 @@ def project(
     view = camera.view
 
     # View-space depth + frustum cull (z <= 0.2 like the Inria preprocess).
-    t = (xyz @ view[:3, :3].T) + view[:3, 3]
-    depth = t[:, 2]
+    depth = _affine3(xyz, view[2:3, :3], view[2:3, 3])[:, 0]
     in_front = depth > 0.2
 
     # Clip-space -> pixel coords via the full projection matrix.
-    hom = (xyz @ camera.full_proj[:3, :3].T) + camera.full_proj[:3, 3]
-    w = (xyz @ camera.full_proj[3:4, :3].T)[:, 0] + camera.full_proj[3, 3]
+    hom = _affine3(xyz, camera.full_proj[:3, :3], camera.full_proj[:3, 3])
+    w = _affine3(xyz, camera.full_proj[3:4, :3], camera.full_proj[3:4, 3])[:, 0]
     # Same double-where guard as the covariance path: culled points must not
     # emit inf/NaN that would leak into gradients through jnp.where.
     w = jnp.where(in_front, w, 1.0)
