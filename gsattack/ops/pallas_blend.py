@@ -133,11 +133,18 @@ def _forward_chunk_blend(alpha, T_in, done_in, want_state: bool = True):
     if not want_state:
         return w, None, None, alpha_eff, t_exc
     T_out = jnp.min(jnp.where(frozen, T_in, t_incl), axis=1, keepdims=True)
-    crossed = jnp.max(
-        jnp.where((t_incl < T_EPS) & (alpha > 0.0), 1.0, 0.0), axis=1,
-        keepdims=True,
-    )
-    done_out = jnp.maximum(done_in, crossed)
+    # Crossing detection as ONE tiny MXU pass instead of a log-step VPU
+    # lane max: count sub-epsilon lanes with indicator @ ones — exact in
+    # bf16 (0/1 entries, counts <= K < 256). The reference's `alpha > 0`
+    # guard is redundant: t_incl is nonincreasing along lanes and equals
+    # its predecessor wherever alpha == 0, so the FIRST sub-epsilon lane
+    # always has alpha > 0 (T_in >= T_EPS whenever done_in == 0).
+    ind = jnp.where(t_incl < T_EPS, 1.0, 0.0).astype(jnp.bfloat16)
+    ones_col = (
+        jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) >= 0
+    ).astype(jnp.bfloat16)
+    cnt = jnp.dot(ind, ones_col, preferred_element_type=jnp.float32)
+    done_out = jnp.maximum(done_in, jnp.where(cnt > 0.5, 1.0, 0.0))
     return w, T_out, done_out, alpha_eff, t_exc
 
 

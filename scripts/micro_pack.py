@@ -75,6 +75,31 @@ def main():
               lambda e, c, i: jax.grad(
                   lambda u: jnp.vdot((u + e)[i].T, c))(unified), cot_fm, idx)
 
+        # --- r3 scatter design levers ---
+        for wv in (16, 9, 4, 1):
+            cot_w = jnp.asarray(
+                rng.normal(size=(p, wv)).astype(np.float32))
+            timed(f"scatter-add {p} rows W={wv}",
+                  lambda e, c, i: jnp.zeros((n + 1, c.shape[1]), jnp.float32)
+                  .at[i].add(c + e), cot_w, idx)
+        # unique destinations (iota indices): the no-collision ceiling
+        uidx = jnp.asarray(
+            np.random.default_rng(1).permutation(p).astype(np.int32))
+        cot16 = jnp.asarray(rng.normal(size=(p, 16)).astype(np.float32))
+        timed(f"scatter-add {p} rows W=16 UNIQUE perm",
+              lambda e, c, i: jnp.zeros((p, 16), jnp.float32)
+              .at[i].add(c + e, unique_indices=True), cot16, uidx)
+        timed(f"scatter-add {p} rows W=16 perm (non-unique flag)",
+              lambda e, c, i: jnp.zeros((p, 16), jnp.float32)
+              .at[i].add(c + e), cot16, uidx)
+        # inverse-design cost driver: gather 6*n rows + reduce
+        gidx6 = jnp.asarray(
+            rng.integers(0, p, size=(n * 6,)).astype(np.int32))
+        timed(f"gather {n*6} rows W=16 + segsum6",
+              lambda e, c, i: jnp.sum(
+                  (c + e)[i].reshape(n, 6, 16), axis=1), cot16, gidx6)
+
 
 if __name__ == "__main__":
     main()
+# (extended r3) scatter design levers — run with --variants

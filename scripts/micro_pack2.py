@@ -70,6 +70,10 @@ def main():
         print(f"{name}: {dt:.3f} ms")
         return dt
 
+    # 0. dispatch floor: a trivial jit call in the same timing harness —
+    # every absolute number below includes this constant.
+    timed("dispatch floor (noop)", lambda e, g: g[0, 0] + e, geom)
+
     # 1. pack fwd alone (device-resident integer metadata)
     timed("pack fwd alone", lambda e, g, c: pack_pairs(
         g + e, c, gauss_idx, tile_start, tile_end, budget=budget)[0],
@@ -89,7 +93,7 @@ def main():
         from gsattack.ops.pallas_blend import CHUNK
         n = geom.shape[0]
         counts = (tile_end - tile_start).astype(jnp.int32)
-        counts = counts + (d[0] * 0).astype(jnp.int32)
+        counts = counts + (d.reshape(-1)[0] * 0).astype(jnp.int32)
         padded = ((counts + CHUNK - 1) // CHUNK) * CHUNK
         start_raw = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)])
