@@ -55,7 +55,7 @@ def build_problem(n_points: int, width: int, height: int, sh_degree: int):
     return scene, cam
 
 
-def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False, rect: int = 0):
+def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False, rect: int = 0, compact_budget: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -70,6 +70,7 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
             max_chunks=max_chunks, backend=backend, pairs_budget=pairs_budget,
             with_objects=with_objects, rect_candidates=rect,
+            compact_budget=compact_budget,
         )
         return jnp.mean((out["render"] - target) ** 2)
 
@@ -130,7 +131,7 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
 
 
 def check_parity(scene, cam, pairs, chunk, max_chunks, pairs_budget,
-                 with_objects, rect: int = 0):
+                 with_objects, rect: int = 0, compact_budget: int = 0):
     """Compiled pallas vs XLA fwd + grads on the bench scene (VERDICT r2
     item 6): the driver loop runs this every round, so a Mosaic regression
     ships loudly instead of silently. Returns (max_rel_err, ok)."""
@@ -148,6 +149,7 @@ def check_parity(scene, cam, pairs, chunk, max_chunks, pairs_budget,
             sc, cam, bg, pairs_per_gaussian=pairs, chunk=chunk,
             max_chunks=max_chunks, backend=backend, pairs_budget=budget,
             with_objects=with_objects, rect_candidates=rect,
+            compact_budget=compact_budget if backend == "pallas" else 0,
         )
         return jnp.mean((out["render"] - target) ** 2), out["render"]
 
@@ -528,6 +530,9 @@ def main():
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument("--backend", default="pallas", choices=["xla", "pallas"])
     ap.add_argument("--pairs-budget", type=int, default=-1, help="-1: auto (4*n_points, pallas only)")
+    ap.add_argument("--compact-budget", type=int, default=-1,
+                    help="pair-indexed backward scatter capacity; -1: auto "
+                         "(measured valid pairs * margin), 0: off")
     ap.add_argument("--mode", default="raster",
                     choices=["raster", "raster-views", "pgd", "stages",
                              "bisect", "scale"])
@@ -649,8 +654,19 @@ def main():
         )
     elif budget < 0:
         budget = 0
+    compact = args.compact_budget
+    if compact < 0 and args.backend == "pallas":
+        from gsattack.ops.raster import auto_compact_budget
+
+        compact = auto_compact_budget(
+            proj0, args.width, args.height, args.pairs,
+            margin=1.25 if args.mode == "pgd" else 1.0,
+            rect_candidates=args.rect,
+        )
+    elif compact < 0:
+        compact = 0
     log(f"backend={args.backend} pairs={args.pairs} rect={args.rect} "
-        f"pairs_budget={budget}")
+        f"pairs_budget={budget} compact_budget={compact}")
 
     if args.mode == "pgd":
         ips = bench_pgd(
@@ -730,7 +746,7 @@ def main():
     else:
         mpix = bench_fwd_bwd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, budget, args.objects, args.rect,
+            args.backend, budget, args.objects, args.rect, compact,
         )
         metric = "fwd_bwd_mpix_per_s"
 
@@ -747,7 +763,7 @@ def main():
     if args.mode == "raster" and not args.forward_only and not args.objects:
         mpix_obj = bench_fwd_bwd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, budget, True, args.rect,
+            args.backend, budget, True, args.rect, compact,
         )
         record["with_objects_mpix_per_s"] = round(mpix_obj, 3)
     # Parity gate (default on for the single-view raster bench with the
@@ -758,7 +774,7 @@ def main():
     if run_parity:
         max_err, ok = check_parity(
             scene, cam, args.pairs, args.chunk, args.max_chunks, budget,
-            args.objects, args.rect,
+            args.objects, args.rect, compact,
         )
         record["parity_max_rel_err"] = float(f"{max_err:.3e}")
         record["parity_ok"] = bool(ok)

@@ -45,6 +45,53 @@ def num_sh_coeffs(degree: int) -> int:
     return (degree + 1) ** 2
 
 
+def _sh_basis(deg: int, dirs: jnp.ndarray) -> list:
+    """Coefficient-scaled SH basis factors at unit directions: a list of
+    (deg+1)^2 arrays shaped [..., 1], so `sum(b_k * sh_k)` evaluates the
+    expansion against either channel-major [..., C, K] (index k last) or
+    coefficient-major [..., K, C] (index k middle) storage."""
+    x = dirs[..., 0:1]
+    y = dirs[..., 1:2]
+    z = dirs[..., 2:3]
+    one = jnp.ones_like(x)
+    basis = [C0 * one]
+    if deg > 0:
+        basis += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            basis += [
+                C2[0] * xy,
+                C2[1] * yz,
+                C2[2] * (2.0 * zz - xx - yy),
+                C2[3] * xz,
+                C2[4] * (xx - yy),
+            ]
+            if deg > 2:
+                basis += [
+                    C3[0] * y * (3 * xx - yy),
+                    C3[1] * xy * z,
+                    C3[2] * y * (4 * zz - xx - yy),
+                    C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                    C3[4] * x * (4 * zz - xx - yy),
+                    C3[5] * z * (xx - yy),
+                    C3[6] * x * (xx - 3 * yy),
+                ]
+                if deg > 3:
+                    basis += [
+                        C4[0] * xy * (xx - yy),
+                        C4[1] * yz * (3 * xx - yy),
+                        C4[2] * xy * (7 * zz - 1),
+                        C4[3] * yz * (7 * zz - 3),
+                        C4[4] * (zz * (35 * zz - 30) + 3),
+                        C4[5] * xz * (7 * zz - 3),
+                        C4[6] * (xx - yy) * (7 * zz - 1),
+                        C4[7] * xz * (xx - 3 * yy),
+                        C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
+                    ]
+    return basis
+
+
 def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate SH at unit directions.
 
@@ -59,48 +106,28 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """
     assert 0 <= deg <= 4
     assert sh.shape[-1] >= num_sh_coeffs(deg)
+    basis = _sh_basis(deg, dirs)
+    result = basis[0] * sh[..., 0]
+    for k in range(1, len(basis)):
+        result = result + basis[k] * sh[..., k]
+    return result
 
-    result = C0 * sh[..., 0]
-    if deg > 0:
-        x = dirs[..., 0:1]
-        y = dirs[..., 1:2]
-        z = dirs[..., 2:3]
-        result = result - C1 * y * sh[..., 1] + C1 * z * sh[..., 2] - C1 * x * sh[..., 3]
-        if deg > 1:
-            xx, yy, zz = x * x, y * y, z * z
-            xy, yz, xz = x * y, y * z, x * z
-            result = (
-                result
-                + C2[0] * xy * sh[..., 4]
-                + C2[1] * yz * sh[..., 5]
-                + C2[2] * (2.0 * zz - xx - yy) * sh[..., 6]
-                + C2[3] * xz * sh[..., 7]
-                + C2[4] * (xx - yy) * sh[..., 8]
-            )
-            if deg > 2:
-                result = (
-                    result
-                    + C3[0] * y * (3 * xx - yy) * sh[..., 9]
-                    + C3[1] * xy * z * sh[..., 10]
-                    + C3[2] * y * (4 * zz - xx - yy) * sh[..., 11]
-                    + C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[..., 12]
-                    + C3[4] * x * (4 * zz - xx - yy) * sh[..., 13]
-                    + C3[5] * z * (xx - yy) * sh[..., 14]
-                    + C3[6] * x * (xx - 3 * yy) * sh[..., 15]
-                )
-                if deg > 3:
-                    result = (
-                        result
-                        + C4[0] * xy * (xx - yy) * sh[..., 16]
-                        + C4[1] * yz * (3 * xx - yy) * sh[..., 17]
-                        + C4[2] * xy * (7 * zz - 1) * sh[..., 18]
-                        + C4[3] * yz * (7 * zz - 3) * sh[..., 19]
-                        + C4[4] * (zz * (35 * zz - 30) + 3) * sh[..., 20]
-                        + C4[5] * xz * (7 * zz - 3) * sh[..., 21]
-                        + C4[6] * (xx - yy) * (7 * zz - 1) * sh[..., 22]
-                        + C4[7] * xz * (xx - 3 * yy) * sh[..., 23]
-                        + C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)) * sh[..., 24]
-                    )
+
+def eval_sh_features(deg: int, features: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """eval_sh on coefficient-major [..., K, C] features — the scene's
+    native storage (`core/scene.py` features = concat(f_dc, f_rest)).
+
+    Avoids the [..., K, C] -> [..., C, K] swapaxes the channel-major form
+    forces on every projection call: on TPU that transpose (and its
+    transpose in the backward) materializes ~0.5 ms of layout copies at
+    100k splats (measured in the compiled HLO), while indexing sh[..., k, :]
+    per basis term fuses into the projection map."""
+    assert 0 <= deg <= 4
+    assert features.shape[-2] >= num_sh_coeffs(deg)
+    basis = _sh_basis(deg, dirs)
+    result = basis[0] * features[..., 0, :]
+    for k in range(1, len(basis)):
+        result = result + basis[k] * features[..., k, :]
     return result
 
 

@@ -530,9 +530,16 @@ def _gather_pack_T(unified, src_gauss):
     generated transpose+scatter (and its freedom to rematerialize the
     index-construction chain) costs several ms that the isolated gather
     does not; pinning src_gauss as the only residual and hand-writing the
-    scatter keeps the backward at its isolated cost."""
-    zero_row = jnp.zeros((1, unified.shape[1]), unified.dtype)
-    return jnp.concatenate([unified, zero_row])[src_gauss].T
+    scatter keeps the backward at its isolated cost.
+
+    Invalid slots (src == n) are clamped to row 0 and masked AFTER the
+    transpose: concatenating a sacrificial zero row would rewrite the
+    whole lane-padded (N+1, W) table (~0.3 ms of pure pad at 100k splats,
+    HLO-measured) where the (W, P_pad) mask is a compact fused pass."""
+    n = unified.shape[0]
+    valid = src_gauss < n
+    rows = unified[jnp.where(valid, src_gauss, 0)]
+    return jnp.where(valid[None, :], rows.T, 0.0)
 
 
 def _gather_pack_T_fwd(unified, src_gauss):
@@ -542,13 +549,65 @@ def _gather_pack_T_fwd(unified, src_gauss):
 def _gather_pack_T_bwd(res, g):
     src_gauss, n = res
     # g: (W, P_pad) field-major cotangent from the blend kernel's VJP.
-    dunified = (
-        jnp.zeros((n + 1, g.shape[0]), g.dtype).at[src_gauss].add(g.T)[:n]
-    )
-    return dunified, np.zeros(src_gauss.shape, jax.dtypes.float0)
+    # ~half the slots are chunk padding; clamping them all to one shared
+    # row makes that row a 170k-deep scatter-collision hotspot. Spread
+    # them over a dummy block (sliced off afterwards) so collision depth
+    # stays O(pairs_per_gaussian); dummy rows also absorb any kernel-
+    # unwritten garbage lanes, so no masking pass is needed.
+    extra = 8192
+    valid = src_gauss < n
+    q = jnp.arange(src_gauss.shape[0], dtype=jnp.int32)
+    idx = jnp.where(valid, src_gauss, n + (q & (extra - 1)))
+    dunified = jnp.zeros((n + extra, g.shape[0]), g.dtype).at[idx].add(g.T)
+    return dunified[:n], np.zeros(src_gauss.shape, jax.dtypes.float0)
 
 
 _gather_pack_T.defvjp(_gather_pack_T_fwd, _gather_pack_T_bwd)
+
+
+@jax.custom_vjp
+def _gather_pack_T_compact(unified, src_gauss, pair_slot, pair_gauss):
+    """_gather_pack_T with a PAIR-indexed backward: the TPU scatter-add is
+    a serial per-update loop (~13 ns/row — profiled at 4.4 ms for 338k
+    slot-major updates, the single most expensive op in the render f+b),
+    so scattering the ~50% padding slots is pure serial waste. The
+    backward instead gathers each VALID pair's cotangent row through
+    `pair_slot` (pair k -> packed slot) and scatters only those
+    `compact_budget` rows onto `pair_gauss`."""
+    n = unified.shape[0]
+    valid = src_gauss < n
+    rows = unified[jnp.where(valid, src_gauss, 0)]
+    return jnp.where(valid[None, :], rows.T, 0.0)
+
+
+def _gather_pack_T_compact_fwd(unified, src_gauss, pair_slot, pair_gauss):
+    return (
+        _gather_pack_T_compact(unified, src_gauss, pair_slot, pair_gauss),
+        (pair_slot, pair_gauss, unified.shape[0], src_gauss.shape),
+    )
+
+
+def _gather_pack_T_compact_bwd(res, g):
+    pair_slot, pair_gauss, n, src_shape = res
+    upd = g.T[pair_slot]  # (B, W): only in-budget pairs' cotangents
+    extra = _DUMMY_ROWS
+    dunified = jnp.zeros((n + extra, g.shape[0]), g.dtype).at[
+        pair_gauss
+    ].add(upd)
+    f0 = lambda s: np.zeros(s, jax.dtypes.float0)
+    return (
+        dunified[:n],
+        f0(src_shape),
+        f0(pair_slot.shape),
+        f0(pair_gauss.shape),
+    )
+
+
+_DUMMY_ROWS = 8192
+
+_gather_pack_T_compact.defvjp(
+    _gather_pack_T_compact_fwd, _gather_pack_T_compact_bwd
+)
 
 
 def pack_pairs(
@@ -565,6 +624,12 @@ def pack_pairs(
     # (ops/raster.py auto_pairs_budget) removes most of the pack work —
     # every per-slot op below scales with the capacity. Tiles (or tile
     # tails) past the capacity are dropped and counted.
+    compact_budget: int = 0,  # static capacity for the PAIR-indexed
+    # backward (ops/raster.py auto_compact_budget): the TPU scatter-add is
+    # serial per update, so the backward scatters only the valid pairs
+    # (~half the padded slots) when this cap is set. Valid pairs beyond it
+    # lose their gradient contribution (counted in num_budget_dropped) —
+    # size it with margin. 0 = scatter every padded slot (always exact).
 ):
     """Lay out the sorted pairs field-major with every tile's range padded
     to a CHUNK multiple (the DMA alignment quantum).
@@ -668,5 +733,46 @@ def pack_pairs(
     # gathers are latency-bound per row, not width-bound) and an extra DMA
     # per chunk inside the kernels.
     unified = jnp.concatenate([geom_all, channels], axis=1)
-    packed = _gather_pack_T(unified, src_gauss)
+    if not compact_budget:
+        packed = _gather_pack_T(unified, src_gauss)
+        return packed, packed_start, packed_end, ch_pad, num_budget_dropped
+
+    # ---- pair-indexed backward machinery: for sorted pair k, its packed
+    # slot is k + delta(tile of k) where delta = packed_start - tile_start
+    # (the accumulated chunk padding) is NONDECREASING over tiles, so a
+    # scatter at each tile's first pair index + cummax forward-fill
+    # reconstructs it without per-pair table gathers. Validity rides a
+    # second fill of tile_start + capped_count (also nondecreasing:
+    # tile_start[t+1] = tile_start[t] + count[t] >= tile_start[t] +
+    # capped_count[t]); pairs at or past the fill value are padding,
+    # budget-clamped, or beyond the last tile.
+    b = ((compact_budget + CHUNK - 1) // CHUNK) * CHUNK
+    ts = tile_start.astype(jnp.int32)
+    kk = jnp.arange(b, dtype=jnp.int32)
+
+    def pfill(vals):
+        # OOB tile starts (>= b) drop; co-located zero-count tiles max to
+        # the latest (owning) tile, matching cfill above.
+        z = jnp.zeros(b, jnp.int32).at[ts].max(vals, mode="drop")
+        return jax.lax.cummax(z)
+
+    delta_f = pfill(packed_start - ts)
+    end_f = pfill(ts + (packed_end - packed_start))
+    valid_k = kk < end_f
+    pair_slot = jnp.where(valid_k, kk + delta_f, p_pad - 1)
+    g_b = gauss_idx.astype(jnp.int32)[:b]
+    if b > p:
+        g_b = jnp.concatenate([g_b, jnp.full((b - p,), n, jnp.int32)])
+    # Invalid pairs spread over dummy rows (sliced off by the VJP): a
+    # single shared row would serialize their collisions.
+    pair_gauss = jnp.where(
+        valid_k, g_b, n + (kk & (_DUMMY_ROWS - 1))
+    )
+    # In-slot-capacity pairs whose index exceeds the compact budget lose
+    # their backward contribution — count them with the other drops.
+    n_in_capacity = jnp.sum(packed_end - packed_start)
+    num_budget_dropped = num_budget_dropped + jnp.maximum(
+        n_in_capacity - jnp.sum(valid_k.astype(jnp.int32)), 0
+    ).astype(jnp.int32)
+    packed = _gather_pack_T_compact(unified, src_gauss, pair_slot, pair_gauss)
     return packed, packed_start, packed_end, ch_pad, num_budget_dropped

@@ -245,6 +245,31 @@ def auto_pairs_budget(
     return ((budget + CHUNK - 1) // CHUNK) * CHUNK
 
 
+def auto_compact_budget(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    pairs_per_gaussian: int = 32,
+    margin: float = 1.25,
+    rect_candidates: int = 0,
+) -> int:
+    """Size `compact_budget` (the PAIR-indexed backward-scatter capacity,
+    pack_pairs semantics) from one view's actual valid pair count. The TPU
+    scatter-add runs a serial loop per update row, so scattering only the
+    valid pairs instead of every padded slot cuts the render backward's
+    most expensive op roughly in half. Host-side; call once at setup."""
+    from .pallas_blend import CHUNK
+
+    bins = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_tight, width, height,
+        pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
+        rect_candidates=rect_candidates,
+    )
+    total = int(jnp.sum(bins.tile_end - bins.tile_start))
+    budget = int(total * margin) + CHUNK
+    return ((budget + CHUNK - 1) // CHUNK) * CHUNK
+
+
 def auto_pairs_per_gaussian(
     proj: ProjectedGaussians,
     width: int,
@@ -426,6 +451,7 @@ def _blend_tiles_pallas(
     max_chunks: int,
     interpret: bool,
     pairs_budget: int = 0,
+    compact_budget: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-kernel blend path (ops/pallas_blend.py). The per-pair gather +
     aligned re-pack here are differentiable; their transpose scatter-adds
@@ -446,7 +472,7 @@ def _blend_tiles_pallas(
     )
     pair_packed, p_start, p_end, ch_pad, n_budget_dropped = pack_pairs(
         geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end,
-        budget=pairs_budget,
+        budget=pairs_budget, compact_budget=compact_budget,
     )
     packed = pallas_blend(
         pair_packed, p_start, p_end, tiles_x, tiles_y, max_chunks, interpret,
@@ -477,7 +503,7 @@ def _blend_tiles_pallas(
     static_argnames=(
         "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
         "backend", "interpret", "pairs_budget", "with_objects",
-        "rect_candidates",
+        "rect_candidates", "compact_budget",
     ),
 )
 def rasterize(
@@ -493,6 +519,7 @@ def rasterize(
     pairs_budget: int = 0,
     with_objects: bool = True,
     rect_candidates: int = 0,
+    compact_budget: int = 0,
 ) -> dict:
     """Full tile rasterization of projected Gaussians.
 
@@ -524,7 +551,7 @@ def rasterize(
     if backend == "pallas":
         img, T, num_truncated = _blend_tiles_pallas(
             bins, proj, channels, width, height, chunk, max_chunks, interpret,
-            pairs_budget,
+            pairs_budget, compact_budget,
         )
     else:
         img, T = _blend_tiles(
@@ -569,7 +596,7 @@ def rasterize(
     static_argnames=(
         "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
         "backend", "interpret", "pairs_budget", "with_objects",
-        "rect_candidates",
+        "rect_candidates", "compact_budget",
     ),
 )
 def rasterize_views(
@@ -585,6 +612,7 @@ def rasterize_views(
     pairs_budget: int = 0,
     with_objects: bool = True,
     rect_candidates: int = 0,
+    compact_budget: int = 0,
 ) -> dict:
     """Multi-view batched rasterization.
 
@@ -642,6 +670,7 @@ def rasterize_views(
             pack_pairs(
                 geom_all[vi], channels[vi], bins.gauss_idx, bins.tile_start,
                 bins.tile_end, budget=pairs_budget,
+                compact_budget=compact_budget,
             )
             + (bins.num_culled_pairs,)
         )

@@ -42,6 +42,7 @@ def render(
     pairs_budget: int = 0,
     with_objects: bool = True,
     rect_candidates: int = 0,
+    compact_budget: int = 0,
 ) -> dict:
     """Render one camera view. Returns the reference's output schema
     (`render`, `render_object`, `radii`, `visibility_filter`) plus
@@ -62,6 +63,7 @@ def render(
         pairs_budget=pairs_budget,
         with_objects=with_objects,
         rect_candidates=rect_candidates,
+        compact_budget=compact_budget,
     )
     out["radii"] = proj.radius
     out["visibility_filter"] = proj.radius > 0

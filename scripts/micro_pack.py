@@ -39,15 +39,24 @@ def main():
     unified = jnp.asarray(rng.normal(size=(n + 1, w)).astype(np.float32))
 
     def timed(name, fn, *fargs):
-        jfn = jax.jit(fn)
-        out = jax.block_until_ready(jfn(jnp.float32(0.0), *fargs))
-        eps_seq = jax.block_until_ready(
-            [jnp.float32((i + 1) * 1e-30) for i in range(args.iters)]
-        )
+        # CHAINED timing: each call's eps derives from the previous call's
+        # OUTPUT, so (a) the axon relay cannot satisfy any call from a
+        # result cache and (b) calls cannot overlap/reorder — the loop
+        # measures true serialized device time. A varying-eps-only loop
+        # measured 338k-row scatters at 0.017 ms, below the HBM read
+        # floor: provably faked.
+        def wrapped(eps, *a):
+            out = fn(eps, *a)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            probe = leaf.reshape(-1)[0].astype(jnp.float32)
+            return out, eps * 0.5 + probe * 1e-36 + 1e-30
+        jfn = jax.jit(wrapped)
+        out, nxt = jfn(jnp.float32(0.0), *fargs)
+        jax.block_until_ready((out, nxt))
         t0 = time.perf_counter()
-        for e in eps_seq:
-            out = jfn(e, *fargs)
-        jax.block_until_ready(out)
+        for _ in range(args.iters):
+            out, nxt = jfn(nxt, *fargs)
+        jax.block_until_ready(nxt)
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{name}: {dt:.3f} ms")
         return dt

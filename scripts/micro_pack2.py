@@ -58,14 +58,20 @@ def main():
     geom, channels = map(jax.block_until_ready, (geom, channels))
 
     def timed(name, fn, *fargs):
-        jfn = jax.jit(fn)
-        out = jax.block_until_ready(jfn(jnp.float32(0.0), *fargs))
-        eps_seq = jax.block_until_ready(
-            [jnp.float32((i + 1) * 1e-30) for i in range(args.iters)])
+        # Chained timing (see micro_pack.py): next eps derives from this
+        # call's output — no relay cache hit, no overlap, true serial time.
+        def wrapped(eps, *a):
+            out = fn(eps, *a)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            probe = leaf.reshape(-1)[0].astype(jnp.float32)
+            return out, eps * 0.5 + probe * 1e-36 + 1e-30
+        jfn = jax.jit(wrapped)
+        out, nxt = jfn(jnp.float32(0.0), *fargs)
+        jax.block_until_ready((out, nxt))
         t0 = time.perf_counter()
-        for e in eps_seq:
-            out = jfn(e, *fargs)
-        jax.block_until_ready(out)
+        for _ in range(args.iters):
+            out, nxt = jfn(nxt, *fargs)
+        jax.block_until_ready(nxt)
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{name}: {dt:.3f} ms")
         return dt
@@ -140,6 +146,27 @@ def main():
         return jnp.concatenate([u + e, zero_row])[s].T
 
     timed("gather+T precomputed idx", gat, unified, src)
+
+    # scatter with the REAL slot->gaussian index distribution: ~50% of
+    # slots are padding that clamp to one shared row — a collision
+    # hotspot absent from uniform-random microbenches.
+    import numpy as _np
+    rng = _np.random.default_rng(0)
+    src_np = _np.asarray(src)
+    print("invalid frac:", (src_np >= n).mean())
+    cot = jnp.asarray(rng.normal(size=(src_np.shape[0], 16)).astype(_np.float32))
+    idx_hot = jnp.asarray(_np.minimum(src_np, n).astype(_np.int32))  # all pad -> row n
+    timed("scatter REAL idx (hotspot row)", lambda e, c, i: jnp.zeros(
+        (n + 1, 16), jnp.float32).at[i].add(c + e), cot, idx_hot)
+    extra = 8192
+    q = _np.arange(src_np.shape[0])
+    idx_spread = jnp.asarray(_np.where(
+        src_np < n, src_np, n + (q & (extra - 1))).astype(_np.int32))
+    timed("scatter REAL idx (spread dummies)", lambda e, c, i: jnp.zeros(
+        (n + extra, 16), jnp.float32).at[i].add(c + e), cot, idx_spread)
+    idx_unif = jnp.asarray(rng.integers(0, n, size=src_np.shape[0]).astype(_np.int32))
+    timed("scatter uniform idx (control)", lambda e, c, i: jnp.zeros(
+        (n + 1, 16), jnp.float32).at[i].add(c + e), cot, idx_unif)
     timed("gather+T f+b precomputed idx",
           lambda e, u, s: jax.grad(
               lambda uu: jnp.sum(gat(jnp.float32(0.0), uu, s) * 1e-6))(u + e),

@@ -151,6 +151,54 @@ def test_pack_pairs_custom_vjp_matches_ad(seed, budget):
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
 
 
+@pytest.mark.parametrize("seed,budget", [(21, 0), (22, 1024)])
+def test_pack_pairs_compact_backward_matches(seed, budget):
+    """The pair-indexed backward (scatter only valid pairs) must produce
+    identical gradients to the slot-indexed backward when the compact
+    budget covers every valid pair."""
+    import jax
+
+    geom, channels, gauss_idx, ts, te = random_problem(seed, 30, 8, 80)
+    args = (
+        jnp.asarray(gauss_idx, jnp.int32),
+        jnp.asarray(ts, jnp.int32),
+        jnp.asarray(te, jnp.int32),
+    )
+    cb = int(gauss_idx.shape[0]) + 256  # covers all
+
+    def loss(g, c, compact):
+        out = pack_pairs(jnp.asarray(g), jnp.asarray(c), *args,
+                         budget=budget, compact_budget=compact)
+        packed = out[0]
+        w = jnp.cos(jnp.arange(packed.size, dtype=jnp.float32)).reshape(
+            packed.shape)
+        return jnp.sum(packed * w)
+
+    # forward identical
+    f0 = loss(geom, channels, 0)
+    f1 = loss(geom, channels, cb)
+    np.testing.assert_allclose(float(f0), float(f1), rtol=1e-6)
+    g0 = jax.grad(loss, argnums=(0, 1))(geom, channels, 0)
+    g1 = jax.grad(loss, argnums=(0, 1))(geom, channels, cb)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_pack_pairs_compact_budget_overflow_counted():
+    """Valid pairs beyond compact_budget are counted as dropped."""
+    geom, channels, gauss_idx, ts, te = random_problem(23, 20, 5, 120)
+    total_valid = int(te[-1])
+    tight = 128  # deliberately smaller than the valid pair count
+    assert total_valid > tight
+    out = pack_pairs(
+        jnp.asarray(geom), jnp.asarray(channels),
+        jnp.asarray(gauss_idx, jnp.int32),
+        jnp.asarray(ts, jnp.int32), jnp.asarray(te, jnp.int32),
+        budget=0, compact_budget=tight,
+    )
+    assert int(out[4]) == total_valid - tight
+
+
 def test_pack_pairs_channel_padding():
     """Non-multiple-of-8 channel counts pad with zero rows."""
     geom, channels, gauss_idx, ts, te = random_problem(7, 16, 4, 50)
