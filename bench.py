@@ -408,7 +408,7 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
               backend: str = "xla", batch: int = 2, pairs_budget: int = 0,
               use_mesh: bool = False, rect: int = 0, detector: str = "toy",
-              det_weights: str = ""):
+              det_weights: str = "", compact_budget: int = 0):
     """End-to-end DAGGER PGD iterations/s: batched multi-view render ->
     detector loss -> grads -> color-l2 step (the BASELINE.md attack-speed
     metric). `detector` picks the frozen scoring head: the default toy
@@ -483,10 +483,12 @@ def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
                 sc, cams, bg, mesh, pairs_per_gaussian=pairs,
                 max_chunks=max_chunks, pairs_budget=pairs_budget,
                 interpret=jax.default_backend() == "cpu",
+                compact_budget=compact_budget,
             )
         else:
             imgs = render_views(sc, cams, bg, pairs, max_chunks, backend,
-                                pairs_budget, rect)
+                                pairs_budget, rect,
+                                compact_budget=compact_budget)
         return det.loss(imgs, 2, bboxes)
 
     @jax.jit
@@ -672,7 +674,7 @@ def main():
         ips = bench_pgd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
             args.backend, args.views, budget, args.mesh, args.rect,
-            args.detector, args.det_weights,
+            args.detector, args.det_weights, compact,
         )
         print(
             json.dumps(

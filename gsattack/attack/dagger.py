@@ -72,6 +72,9 @@ class AttackConfig:
     # Rect-enumeration capacity for binning row compaction (-1 = auto-pair
     # with pairs_per_gaussian=-1; 0 = off). See ops/raster.bin_gaussians.
     rect_candidates: int = 0
+    # Pair-indexed backward-scatter capacity (-1 = auto-measure with the
+    # other caps; 0 = off). See ops/pallas_blend.pack_pairs.
+    compact_budget: int = 0
     save_ply: bool = True
     # Checkpoint/resume (capability the reference lacks, SURVEY §5): save
     # attack state every N iterations; resume picks up pending views + params.
@@ -100,6 +103,7 @@ def render_views(
     pairs_budget: int = 0,
     rect_candidates: int = 0,
     mesh=None,
+    compact_budget: int = 0,
 ) -> jnp.ndarray:
     """Batched multi-view render -> (B, H, W, 3). `cams` is a stacked Camera.
 
@@ -137,6 +141,7 @@ def render_views(
                 pairs_budget=pairs_budget,
                 interpret=jax.default_backend() == "cpu",
                 rect_candidates=rect_candidates,
+                compact_budget=compact_budget,
             )
         # A view batch off the views axis cannot take the shard_map
         # path, and a GSPMD-partitioned pallas custom call is unsupported
@@ -155,6 +160,9 @@ def render_views(
             backend="pallas",
             pairs_budget=pairs_budget,
             rect_candidates=rect_candidates,
+            compact_budget=compact_budget,
+            # compiled Mosaic needs a TPU; CPU (tests/dev) interprets
+            interpret=jax.default_backend() == "cpu",
         )["render"]
 
     def one(cam):
@@ -257,10 +265,12 @@ def run_dagger(
         cfg.pairs_per_gaussian < 0
         or cfg.pairs_budget < 0
         or cfg.rect_candidates < 0
+        or cfg.compact_budget < 0
     ):
         from ..ops.project import project
         from ..ops.raster import (
-            auto_pair_caps, auto_pairs_budget, auto_pairs_per_gaussian,
+            auto_compact_budget, auto_pair_caps, auto_pairs_budget,
+            auto_pairs_per_gaussian,
         )
 
         # Probe the eval overlay scene too: success evaluation renders
@@ -305,6 +315,17 @@ def run_dagger(
             )
             cfg = dataclasses.replace(cfg, pairs_budget=budget)
             log(f"[Info] Auto-sized pairs_budget = {budget}")
+        if cfg.compact_budget < 0:
+            # PGD moves the splats, so keep the 1.25 drift margin.
+            compact = max(
+                auto_compact_budget(
+                    p, c.width, c.height, cfg.pairs_per_gaussian,
+                    margin=1.25, rect_candidates=cfg.rect_candidates,
+                )
+                for p, c in projs
+            )
+            cfg = dataclasses.replace(cfg, compact_budget=compact)
+            log(f"[Info] Auto-sized compact_budget = {compact}")
 
     # ---- benign pass: silhouette GT boxes on black bg (attack.py:433-461)
     @jax.jit
@@ -318,6 +339,7 @@ def run_dagger(
             backend=cfg.backend,
             pairs_budget=cfg.pairs_budget,
             rect_candidates=cfg.rect_candidates,
+            interpret=jax.default_backend() == "cpu",
         )
         return silhouette_bbox(out["render"]), out["num_truncated_pairs"]
 
@@ -339,6 +361,7 @@ def run_dagger(
         imgs = render_views(
             sc, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks,
             cfg.backend, cfg.pairs_budget, cfg.rect_candidates, mesh,
+            cfg.compact_budget,
         )
         return detector.loss(imgs, target_idx, bboxes)
 
@@ -430,7 +453,7 @@ def run_dagger(
                     eval_scene, cams, bg, cfg.pairs_per_gaussian,
                     cfg.max_chunks, cfg.backend, cfg.pairs_budget,
                     cfg.rect_candidates, mesh,
-                )
+                )  # eval is forward-only: the compact cap is a bwd knob
             )
             successes = []
             for j, vi in enumerate(cur):

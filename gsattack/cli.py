@@ -207,6 +207,7 @@ def cmd_attack(argv):
         backend=cfg.get("backend", "xla"),
         pairs_budget=cfg.get("pairs_budget", 0),
         rect_candidates=cfg.get("rect_candidates", 0),
+        compact_budget=cfg.get("compact_budget", 0),
     )
     # The PGD view batch is batch_size views only in batch_mode; otherwise
     # the attack steps one view at a time and the views axis must be 1.

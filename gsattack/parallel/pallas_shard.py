@@ -50,6 +50,7 @@ def render_views_sharded(
     interpret: bool = False,
     backend: str = "pallas",
     rect_candidates: int = 0,
+    compact_budget: int = 0,
 ) -> jnp.ndarray:
     """Sharded multi-view render -> (V, H, W, 3), differentiable w.r.t.
     the (splats-sharded) scene. `interpret=True` runs the kernels in
@@ -112,6 +113,7 @@ def render_views_sharded(
             interpret=interpret,
             pairs_budget=pairs_budget,
             rect_candidates=rect_candidates,
+            compact_budget=compact_budget,
         )
         return out["render"]
 
