@@ -365,10 +365,12 @@ def run_dagger(
         )
         return detector.loss(imgs, target_idx, bboxes)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-
     @jax.jit
-    def step_fn(params, grads):
+    def attack_step(params, cams, bboxes):
+        # ONE dispatch per PGD iteration (grad + step fused): a separate
+        # grad_fn/step_fn pair pays two host->device round-trips per iter
+        # on the tunneled chip.
+        loss, grads = jax.value_and_grad(loss_fn)(params, cams, bboxes)
         sc = scene.with_params(params)
         sc = pgd_attack_step(
             sc,
@@ -381,7 +383,7 @@ def run_dagger(
             cfg.is_targeted,
             mask,
         )
-        return sc.params()
+        return sc.params(), loss
 
     params = jax.tree_util.tree_map(jnp.array, scene.params())
     pending = list(range(len(built)))
@@ -437,10 +439,9 @@ def run_dagger(
         cur_boxes = np.stack(pending_boxes[: len(cur)])
         cams = shard_batch(stack_cameras([built[i] for i in cur]))
 
-        loss, grads = grad_fn(params, cams, jnp.asarray(cur_boxes))
+        params, loss = attack_step(params, cams, jnp.asarray(cur_boxes))
         losses.append(float(loss))
         log(f"Iteration: {it}, Loss: {float(loss)}")
-        params = step_fn(params, grads)
 
         if (it % cfg.eval_every) == 0:
             # ---- success evaluation on the overlay scene (attack.py:513-600)
