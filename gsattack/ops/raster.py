@@ -173,7 +173,7 @@ def bin_gaussians(
         # irrelevant) and keep the first c columns.
         skey, tile_id = jax.lax.sort(
             (jnp.where(valid, j, c_rect).astype(jnp.int32), tile_id),
-            num_keys=1,
+            num_keys=1, is_stable=False,
         )
         overflow = overflow + jnp.maximum(jnp.sum(valid, axis=1) - c, 0)
         tile_id = tile_id[:, :c]
@@ -204,7 +204,15 @@ def bin_gaussians(
     flat_gidx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, c)
     ).reshape(-1)
-    sorted_key, sorted_gidx = jax.lax.sort((key, flat_gidx), num_keys=1)
+    # is_stable=False: a stable sort makes XLA carry an extra iota
+    # tiebreaker through the 600k-element sort (~3 arrays instead of 2).
+    # Ties are (tile, quantized-depth) collisions whose blend order is
+    # semantically arbitrary — the reference's radix sort is likewise
+    # arbitrary across equal keys, and the oracle orders by TRUE depth,
+    # which a stable candidate-index order doesn't reproduce either.
+    sorted_key, sorted_gidx = jax.lax.sort(
+        (key, flat_gidx), num_keys=1, is_stable=False
+    )
     tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
     bounds = jnp.searchsorted(
         sorted_key, jnp.left_shift(tids, depth_bits), side="left"
