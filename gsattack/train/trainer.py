@@ -62,6 +62,11 @@ class TrainConfig:
     max_chunks: int = 16
     backend: str = "xla"
     pairs_budget: int = 0
+    # Binning row-compaction and pair-indexed-backward capacities
+    # (ops/raster.bin_gaussians, ops/pallas_blend.pack_pairs). Training
+    # grows the splat set, so leave headroom when setting these.
+    rect_candidates: int = 0
+    compact_budget: int = 0
     spatial_lr_scale: float = 1.0
     # Gaussian-Grouping 3D consistency regularizer (reference knobs
     # `configs/config.yaml:37-41`; loss in train/reg3d.py). Enabled when
@@ -189,6 +194,8 @@ class Trainer:
                 max_chunks=cfg.max_chunks,
                 backend=cfg.backend,
                 pairs_budget=cfg.pairs_budget,
+                rect_candidates=cfg.rect_candidates,
+                compact_budget=cfg.compact_budget,
             )
             loss = dssim_l1_loss(out["render"], gt, cfg.lambda_dssim)
             if cfg.use_reg3d and self.classifier is not None:
