@@ -32,12 +32,22 @@ def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(m))
 
 
-@functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+@functools.lru_cache(maxsize=16)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix of the 1-D gaussian window: B @ x equals the
+    zero-padded 'same' convolution along that axis (the SSIM window is
+    separable, so the 2-D filter is B_H @ X @ B_W^T)."""
     xs = np.arange(window_size)
     g = np.exp(-((xs - window_size // 2) ** 2) / (2 * sigma**2))
     g = g / g.sum()
-    return np.outer(g, g).astype(np.float32)
+    b = np.zeros((n, n), np.float64)
+    half = window_size // 2
+    idx = np.arange(n)
+    for k in range(window_size):
+        j = idx + k - half
+        m = (j >= 0) & (j < n)
+        b[idx[m], j[m]] = g[k]
+    return b.astype(np.float32)
 
 
 def ssim(
@@ -47,23 +57,23 @@ def ssim(
     sigma: float = 1.5,
 ) -> jnp.ndarray:
     """Mean SSIM with a gaussian window, matching `utils/loss_utils.py:23-63`
-    (same-pad depthwise convolution). Accepts (H, W, C) or (B, H, W, C)."""
+    (same-pad depthwise filtering). Accepts (H, W, C) or (B, H, W, C).
+
+    The window filter runs as two banded MXU matmuls (separable gaussian:
+    B_H @ X @ B_W^T), NOT a depthwise convolution — TPU has no MXU mapping
+    for a 3-channel depthwise conv, and the conv formulation profiled at
+    6.3 ms PER FILTER PASS at 800x800 (~50 ms of a training step across
+    the fwd+bwd filter stack); the banded matmuls are ~100x cheaper."""
     if img1.ndim == 3:
         img1 = img1[None]
         img2 = img2[None]
-    c = img1.shape[-1]
-    w = jnp.asarray(_gaussian_window(window_size, sigma))
-    kernel = jnp.tile(w[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
+    hi = jax.lax.Precision.HIGHEST  # f32-grade: the parity tests pin 1e-5
+    bh = jnp.asarray(_band_matrix(img1.shape[1], window_size, sigma))
+    bw = jnp.asarray(_band_matrix(img1.shape[2], window_size, sigma))
 
     def filt(x):
-        return jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            (1, 1),
-            [(window_size // 2, window_size // 2)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-        )
+        x = jnp.einsum("hH,bHwc->bhwc", bh, x, precision=hi)
+        return jnp.einsum("wW,bhWc->bhwc", bw, x, precision=hi)
 
     mu1 = filt(img1)
     mu2 = filt(img2)
