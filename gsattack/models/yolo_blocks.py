@@ -18,6 +18,17 @@ ultralytics state_dict key-by-key (no traversal-order guessing), and the
 torch-executed parity tests (tests/test_yolo_parity.py) prove the mapping
 end to end.
 
+Anchor-based vs u-variant: the reference vendors *anchor-based* v3/v5
+architecture cards (`pretrained-models/yolov3/yolov3.yaml`,
+`yolov5/yolov5s.yaml` — their Detect rows carry `[nc, anchors]`), but the
+checkpoints it loads through `attempt_load_one_weight` are ultralytics
+u-variants with the anchor-free DFL head: `detectors/yolov3_detector.py:
+20-25` sets `box=7.5, cls=0.5, dfl=1.5`, and a `dfl` gain only exists in
+v8DetectionLoss, which requires the u-head. These tables therefore pair
+the cards' backbone/neck rows (identical between the anchor and u cards;
+pinned row-by-row against the vendored yamls by tests/test_yolo_specs.py,
+no torch in the loop) with the anchor-free Detect.
+
 Torch/XLA alignment notes:
   * convs use explicit torch-style padding k//2 (XLA "SAME" pads
     asymmetrically for stride 2 and would shift features);
