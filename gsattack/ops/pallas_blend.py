@@ -558,7 +558,8 @@ def _gather_pack_T_bwd(res, g):
     valid = src_gauss < n
     q = jnp.arange(src_gauss.shape[0], dtype=jnp.int32)
     idx = jnp.where(valid, src_gauss, n + (q & (extra - 1)))
-    dunified = jnp.zeros((n + extra, g.shape[0]), g.dtype).at[idx].add(g.T)
+    gT = jax.lax.optimization_barrier(g.T)  # see compact bwd: one copy,
+    dunified = jnp.zeros((n + extra, g.shape[0]), g.dtype).at[idx].add(gT)
     return dunified[:n], np.zeros(src_gauss.shape, jax.dtypes.float0)
 
 
@@ -589,7 +590,12 @@ def _gather_pack_T_compact_fwd(unified, src_gauss, pair_slot, pair_gauss):
 
 def _gather_pack_T_compact_bwd(res, g):
     pair_slot, pair_gauss, n, src_shape = res
-    upd = g.T[pair_slot]  # (B, W): only in-budget pairs' cotangents
+    # Materialize the transpose BEFORE the gather: fused, XLA turns the
+    # row gather into strided column reads of the field-major cotangent
+    # plus a layout copy after (1.53 ms at 207k pairs, r4 HLO profile);
+    # one explicit transpose copy + a contiguous-row gather is ~3x cheaper.
+    gT = jax.lax.optimization_barrier(g.T)
+    upd = gT[pair_slot]  # (B, W): only in-budget pairs' cotangents
     extra = _DUMMY_ROWS
     dunified = jnp.zeros((n + extra, g.shape[0]), g.dtype).at[
         pair_gauss
@@ -659,10 +665,6 @@ def pack_pairs(
     # Sublane alignment: channel (row) counts must be multiples of 8.
     ch = channels.shape[1]
     ch_pad = ((ch + 7) // 8) * 8
-    if ch_pad != ch:
-        channels = jnp.concatenate(
-            [channels, jnp.zeros((n, ch_pad - ch), channels.dtype)], axis=1
-        )
     counts = (tile_end - tile_start).astype(jnp.int32)
     padded = ((counts + CHUNK - 1) // CHUNK) * CHUNK
     start_raw = jnp.concatenate(
@@ -732,7 +734,20 @@ def pack_pairs(
     # separate geometry/color gathers cost a full extra gather pass (row
     # gathers are latency-bound per row, not width-bound) and an extra DMA
     # per chunk inside the kernels.
-    unified = jnp.concatenate([geom_all, channels], axis=1)
+    #
+    # Built FIELD-MAJOR first ((W, N) stack of 1-D columns: each row is one
+    # contiguous write, and slice-of-concat forwarding lets XLA read the
+    # callers' original 1-D fields directly) then transposed in ONE layout
+    # copy behind an optimization_barrier. The direct (N, k)-piece concat
+    # materialized ~9 lane-padded operand copies + a 0.54 ms concatenate
+    # (~1.3 ms total at 100k splats, r4 HLO profile); the barrier keeps XLA
+    # from re-fusing the transpose into the row gather below (strided
+    # column reads were exactly the bwd-gather disease, fusion.4).
+    z = jnp.zeros((n,), geom_all.dtype)
+    cols = [geom_all[:, i] for i in range(geom_all.shape[1])]
+    cols += [channels[:, i] for i in range(ch)]
+    cols += [z] * (ch_pad - ch)
+    unified = jax.lax.optimization_barrier(jnp.stack(cols, axis=0).T)
     if not compact_budget:
         packed = _gather_pack_T(unified, src_gauss)
         return packed, packed_start, packed_end, ch_pad, num_budget_dropped

@@ -214,8 +214,13 @@ def bin_gaussians(
         (key, flat_gidx), num_keys=1, is_stable=False
     )
     tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
+    # scan_unrolled: the default scan method wraps the ~20 binary-search
+    # gathers in a while loop whose per-step tuple threading costs as much
+    # as the gathers themselves (0.34 + 0.34 ms at 600k keys, r4 profile);
+    # unrolled, the loop shell disappears and the gathers pipeline.
     bounds = jnp.searchsorted(
-        sorted_key, jnp.left_shift(tids, depth_bits), side="left"
+        sorted_key, jnp.left_shift(tids, depth_bits), side="left",
+        method="scan_unrolled",
     ).astype(jnp.int32)
     tile_start = bounds[:-1]
     tile_end = bounds[1:]
