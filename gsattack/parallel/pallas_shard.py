@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.camera import Camera
@@ -37,6 +38,66 @@ from .mesh import SPLATS_AXIS, VIEWS_AXIS
 from .shardings import camera_batch_spec, scene_spec
 
 from jax import shard_map
+
+
+def measure_tile_row_costs(
+    proj,
+    width: int,
+    height: int,
+    pairs_per_gaussian: int = 32,
+    rect_candidates: int = 0,
+) -> np.ndarray:
+    """Per-tile-row valid pair counts of one projected view — the band
+    planner's cost vector. Host-side (one binning pass, like the
+    auto-budget helpers in ops/raster.py); call at setup over a sample of
+    cameras and sum/max the results."""
+    from ..ops.raster import TILE, bin_gaussians
+
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    bins = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_tight, width, height,
+        pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
+        rect_candidates=rect_candidates,
+    )
+    counts = np.asarray(bins.tile_end - bins.tile_start)
+    return counts.reshape(tiles_y, tiles_x).sum(axis=1)
+
+
+def plan_bands(costs, n_bands: int) -> tuple[int, ...]:
+    """Contiguous partition of `len(costs)` tile rows into exactly
+    `n_bands` non-empty bands minimizing the max band cost (exact linear-
+    partition DP — host-side setup on ≤ a few hundred rows). Returns
+    per-band row counts. With uniform costs this degenerates to a
+    near-equal split, so it is also the indivisible-tiles_y remainder
+    handler."""
+    costs = np.asarray(costs, dtype=np.float64)
+    t = len(costs)
+    if n_bands > t:
+        raise ValueError(f"{n_bands} bands over {t} tile rows")
+    if n_bands == 1:
+        return (t,)
+    if costs.sum() <= 0.0:
+        costs = np.ones(t)
+    s = np.concatenate([[0.0], np.cumsum(costs)])  # s[i] = cost of rows <i
+    # f[i] = min max-band-cost of rows <i split into k bands (k rolls).
+    f = np.where(np.arange(t + 1) >= 1, s, np.inf)
+    cut = np.zeros((n_bands, t + 1), dtype=np.int64)
+    for k in range(2, n_bands + 1):
+        g = np.full(t + 1, np.inf)
+        for i in range(k, t + 1):
+            j = np.arange(k - 1, i)
+            cand = np.maximum(f[j], s[i] - s[j])
+            a = int(np.argmin(cand))
+            g[i], cut[k - 1, i] = cand[a], j[a]
+        f = g
+    sizes, i = [], t
+    for k in range(n_bands, 1, -1):
+        j = int(cut[k - 1, i])
+        sizes.append(i - j)
+        i = j
+    sizes.append(i)
+    return tuple(reversed(sizes))
 
 
 def render_views_sharded(
@@ -51,30 +112,59 @@ def render_views_sharded(
     backend: str = "pallas",
     rect_candidates: int = 0,
     compact_budget: int = 0,
+    band_tiles: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
     """Sharded multi-view render -> (V, H, W, 3), differentiable w.r.t.
     the (splats-sharded) scene. `interpret=True` runs the kernels in
     interpret mode (CPU-mesh tests); `backend="xla"` swaps in the XLA
-    blend under the same sharding layout."""
+    blend under the same sharding layout.
+
+    `band_tiles` (static, one per splats-shard, summing to tiles_y)
+    assigns each device a contiguous run of tile rows — pass
+    `plan_bands(measure_tile_row_costs(...), n)` to balance bands by
+    measured pair count instead of equal height. None = near-equal rows."""
     width, height = cams.width, cams.height
     from ..ops.raster import TILE
 
-    # Tile-parallel blending: when the tile rows divide evenly over the
-    # splats axis, each device rasterizes only its horizontal band of
-    # tiles (EWA splatting in pixel space is translation-invariant, so a
-    # band render is just a mean2d shift + short image) and `out_specs`
-    # concatenates the bands along H. This puts bin/pack/sort/blend on
-    # BOTH mesh axes — without it the raster stages are replicated across
-    # splats and only projection + grad reduction scale on that axis.
-    # Fwd adds zero communication; the bwd path is unchanged (the shift
-    # is grad-transparent and the all_gather transpose already
-    # reduce-scatters per-gaussian grads to their shard).
+    # Tile-parallel blending: each device rasterizes only its horizontal
+    # band of tile rows (EWA splatting in pixel space is translation-
+    # invariant, so a band render is just a mean2d shift + short image)
+    # and `out_specs` concatenates the bands along H. This puts
+    # bin/pack/sort/blend on BOTH mesh axes — without it the raster
+    # stages are replicated across splats and only projection + grad
+    # reduction scale on that axis. Fwd adds zero communication; the bwd
+    # path is unchanged (the shift is grad-transparent and the all_gather
+    # transpose already reduce-scatters per-gaussian grads to their
+    # shard). Uneven bands render at the max band height (shard_map
+    # shards must be equal-shaped) with device-specific static offsets;
+    # rows past a band's true extent are pad, dropped by a static row
+    # gather after the shard_map. tiles_y need not divide n_splats.
     n_splats = mesh.shape[SPLATS_AXIS]
     tiles_y = height // TILE
     tile_parallel = (
-        height % TILE == 0 and tiles_y % n_splats == 0 and n_splats > 1
+        height % TILE == 0 and 1 < n_splats <= tiles_y
     )
     out_spec = P(VIEWS_AXIS, SPLATS_AXIS) if tile_parallel else P(VIEWS_AXIS)
+
+    band_h = height
+    row_idx = None
+    if tile_parallel:
+        if band_tiles is None:
+            band_tiles = plan_bands(np.ones(tiles_y), n_splats)
+        if len(band_tiles) != n_splats or sum(band_tiles) != tiles_y:
+            raise ValueError(
+                f"band_tiles {band_tiles} must be {n_splats} counts "
+                f"summing to {tiles_y}"
+            )
+        starts = np.concatenate([[0], np.cumsum(band_tiles[:-1])])
+        band_h = int(max(band_tiles)) * TILE
+        if band_h * n_splats != height:
+            # src row of global row r: band d's output lives at
+            # d*band_h + (r - starts[d]*TILE).
+            d_of = np.repeat(np.arange(n_splats), np.array(band_tiles) * TILE)
+            r = np.arange(height)
+            row_idx = jnp.asarray(d_of * band_h + r - starts[d_of] * TILE)
+        starts_px = jnp.asarray(starts * TILE, dtype=jnp.float32)
 
     @functools.partial(
         shard_map,
@@ -91,12 +181,10 @@ def render_views_sharded(
             ),
             proj_local,
         )
-        band_h = height
         if tile_parallel:
-            band_h = height // n_splats
-            y0 = (jax.lax.axis_index(SPLATS_AXIS) * band_h).astype(
-                proj_full.mean2d.dtype
-            )
+            y0 = jnp.take(
+                starts_px, jax.lax.axis_index(SPLATS_AXIS)
+            ).astype(proj_full.mean2d.dtype)
             proj_full = proj_full._replace(
                 mean2d=proj_full.mean2d - jnp.stack(
                     [jnp.zeros_like(y0), y0]
@@ -117,4 +205,7 @@ def render_views_sharded(
         )
         return out["render"]
 
-    return f(scene, cams, bg)
+    img = f(scene, cams, bg)
+    if row_idx is not None:
+        img = jnp.take(img, row_idx, axis=1)
+    return img

@@ -248,7 +248,7 @@ def test_sharded_pallas_render_fallback_indivisible_tiles():
         make_toy_camera(width=64, height=48, z=0.1 * i) for i in range(4)
     ]
     cams = stack_cameras(cams_list)
-    mesh = make_mesh((2, 4))  # tiles_y=3 % splats=4 != 0 -> fallback
+    mesh = make_mesh((2, 4))  # tiles_y=3 < splats=4 -> fallback
     bg = jnp.array([0.2, 0.4, 0.6])
     out = render_views_sharded(
         shard_scene(sc, mesh), shard_camera_batch(cams, mesh), bg, mesh,
@@ -259,6 +259,84 @@ def test_sharded_pallas_render_fallback_indivisible_tiles():
         np.testing.assert_allclose(
             np.asarray(out[i]), np.asarray(ref), atol=1e-5
         )
+
+
+def test_sharded_pallas_indivisible_tiles_banded():
+    """tiles_y=5 over a 4-way splats axis: the banded path must still run
+    (uneven bands + pad-row gather), not fall back, and match unsharded."""
+    from gsattack.core.camera import stack_cameras
+    from gsattack.parallel.pallas_shard import render_views_sharded
+    from gsattack.parallel.shardings import shard_camera_batch
+    from gsattack.render import render
+
+    sc = make_toy_scene(n=96, seed=3)
+    cams_list = [
+        make_toy_camera(width=64, height=80, z=0.1 * i) for i in range(4)
+    ]
+    cams = stack_cameras(cams_list)
+    mesh = make_mesh((2, 4))
+    bg = jnp.array([0.2, 0.4, 0.6])
+    out = render_views_sharded(
+        shard_scene(sc, mesh), shard_camera_batch(cams, mesh), bg, mesh,
+        max_chunks=8, interpret=True,
+    )
+    assert out.shape == (4, 80, 64, 3)
+    for i, cam in enumerate(cams_list):
+        ref = render(sc, cam, bg, max_chunks=8)["render"]
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), atol=1e-5, err_msg=f"view {i}"
+        )
+
+
+def test_sharded_pallas_measured_band_plan():
+    """Pair-count-balanced bands (measure_tile_row_costs + plan_bands)
+    flow through render_views_sharded and still match unsharded."""
+    from gsattack.core.camera import stack_cameras
+    from gsattack.ops.project import project
+    from gsattack.parallel.pallas_shard import (
+        measure_tile_row_costs, plan_bands, render_views_sharded)
+    from gsattack.parallel.shardings import shard_camera_batch
+    from gsattack.render import render
+
+    sc = make_toy_scene(n=96, seed=3)
+    cams_list = [
+        make_toy_camera(width=64, height=64, z=0.1 * i) for i in range(4)
+    ]
+    cams = stack_cameras(cams_list)
+    mesh = make_mesh((2, 4))
+    bg = jnp.array([0.2, 0.4, 0.6])
+    costs = sum(
+        measure_tile_row_costs(project(sc, c), 64, 64)
+        for c in cams_list
+    )
+    plan = plan_bands(costs, 4)
+    assert len(plan) == 4 and sum(plan) == 4 and min(plan) >= 1
+    out = render_views_sharded(
+        shard_scene(sc, mesh), shard_camera_batch(cams, mesh), bg, mesh,
+        max_chunks=8, interpret=True, band_tiles=plan,
+    )
+    for i, cam in enumerate(cams_list):
+        ref = render(sc, cam, bg, max_chunks=8)["render"]
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), atol=1e-5, err_msg=f"view {i}"
+        )
+
+
+def test_plan_bands():
+    from gsattack.parallel.pallas_shard import plan_bands
+
+    assert plan_bands(np.ones(8), 4) == (2, 2, 2, 2)
+    assert sum(plan_bands(np.ones(50), 8)) == 50
+    # a dominant row gets isolated; the rest spread to minimize the max
+    p = plan_bands(np.array([100.0, 1, 1, 1, 1, 1, 1, 1]), 4)
+    assert p[0] == 1 and sum(p) == 8
+    c = np.arange(1.0, 11.0)
+    p = plan_bands(c, 3)
+    sums = [c[sum(p[:i]):sum(p[: i + 1])].sum() for i in range(3)]
+    assert max(sums) <= 21.0  # optimal split of 1..10 into 3
+    assert plan_bands(np.zeros(7), 3) == (2, 2, 3)
+    with pytest.raises(ValueError):
+        plan_bands(np.ones(3), 4)
 
 
 def test_sharded_pallas_grads_match_unsharded():
