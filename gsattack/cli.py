@@ -262,6 +262,92 @@ def cmd_render_eval(argv):
     return 0
 
 
+def cmd_sweep(argv):
+    """Hydra-multirun analogue (`configs/config.yaml:70-76` hydra.sweep):
+    overrides with comma-separated values sweep their cartesian product,
+    each combination running in its own
+    `multirun/<date>/<time>/<cam_path>_<target_splat>_<detector>` subdir
+    (the layout `utils/analyze_ap_ar.py:163-211` and `evals/asr.py`
+    sweep over) with a `render.log` capture, like Hydra's job chdir."""
+    import itertools
+    from datetime import datetime
+
+    from .utils.config import load_config
+
+    ap = argparse.ArgumentParser(prog="gsattack sweep")
+    ap.add_argument("--config-dir", default="configs")
+    ap.add_argument("--job", default="render-eval",
+                    choices=["render-eval", "attack"])
+    ap.add_argument("--sweep-dir", default=None,
+                    help="default: multirun/<Y-m-d>/<H-M-S>")
+    ap.add_argument("--subdir-fmt",
+                    default="{cam_path}_{target_splat}_{detector_name}")
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args(argv)
+    config_dir = os.path.abspath(args.config_dir)
+
+    fixed, swept = [], []
+    for ov in args.overrides:
+        key, _, val = ov.partition("=")
+        vals = val.split(",")
+        (swept if len(vals) > 1 else fixed).append(
+            (key, vals if len(vals) > 1 else val)
+        )
+    combos = [
+        [f"{k}={v}" for (k, _), v in zip(swept, choice)]
+        for choice in itertools.product(*(vals for _, vals in swept))
+    ] if swept else [[]]
+    fixed_ov = [f"{k}={v}" for k, v in fixed]
+
+    now = datetime.now()
+    root = os.path.abspath(
+        args.sweep_dir
+        or os.path.join(
+            "multirun", now.strftime("%Y-%m-%d"), now.strftime("%H-%M-%S")
+        )
+    )
+    job = cmd_render_eval if args.job == "render-eval" else cmd_attack
+    cwd, statuses = os.getcwd(), []
+    for i, combo in enumerate(combos):
+        overrides = fixed_ov + combo
+        cfg = load_config(config_dir, overrides=overrides)
+        sub = args.subdir_fmt.format(
+            cam_path=cfg.get("cam_path", "cams"),
+            target_splat=cfg.scene.get("target_splat", cfg.scene.name),
+            detector_name=cfg.scene.detector_name,
+            scene=cfg.scene.name,
+            i=i,
+        )
+        run_dir = os.path.join(root, sub)
+        if os.path.exists(run_dir):  # pattern collision -> job index
+            run_dir = os.path.join(root, f"{sub}_{i}")
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "overrides.yaml"), "w") as f:
+            f.write("\n".join(f"- {o}" for o in overrides) + "\n")
+        fh = logging.FileHandler(os.path.join(run_dir, "render.log"))
+        fh.setFormatter(logging.Formatter("%(asctime)s - %(message)s"))
+        root_log = logging.getLogger()
+        prev_level = root_log.level
+        # jobs log records at INFO via propagation; basicConfig inside the
+        # job no-ops once a handler exists, so set the level here.
+        root_log.setLevel(logging.INFO)
+        root_log.addHandler(fh)
+        print(f"[sweep {i + 1}/{len(combos)}] {sub}: {' '.join(combo)}")
+        try:
+            os.chdir(run_dir)
+            rc = job(["--config-dir", config_dir, *overrides])
+        finally:
+            os.chdir(cwd)
+            root_log.removeHandler(fh)
+            root_log.setLevel(prev_level)
+            fh.close()
+        statuses.append((sub, rc))
+    print(f"sweep done -> {root}")
+    for sub, rc in statuses:
+        print(f"  {sub}: exit={rc}")
+    return max((rc for _, rc in statuses), default=0)
+
+
 def cmd_asr(argv):
     from .evals import analyze_asr_logs
 
@@ -558,6 +644,7 @@ def cmd_predict_batch(argv):
 COMMANDS = {
     "attack": cmd_attack,
     "render-eval": cmd_render_eval,
+    "sweep": cmd_sweep,
     "train": cmd_train,
     "grouping-render": cmd_grouping_render,
     "recolor": cmd_recolor,

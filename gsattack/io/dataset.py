@@ -52,12 +52,21 @@ def get_nerfpp_norm(cams: list[CameraExtrinsics]) -> dict:
 
 
 def _load_image(path: str) -> Optional[np.ndarray]:
+    """GT image as (H, W, 3) in [0, 1]. Images carrying an alpha channel
+    apply it as the camera-level gt_alpha_mask — the reference multiplies
+    the GT by the RGBA image's 4th channel (`scene/cameras.py:43-44`,
+    mask extraction `utils/camera_utils.py:47-48`)."""
     if not os.path.exists(path):
         return None
     try:
         from PIL import Image
 
         with Image.open(path) as im:
+            if im.mode in ("RGBA", "LA", "PA") or (
+                im.mode == "P" and "transparency" in im.info
+            ):
+                rgba = np.asarray(im.convert("RGBA"), np.float32) / 255.0
+                return rgba[..., :3] * rgba[..., 3:4]
             return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
     except Exception:
         return None

@@ -108,6 +108,39 @@ def test_cli_attack_synthetic_mesh(tmp_path, monkeypatch):
     assert rc in (0, 1)
 
 
+def test_cli_sweep_multirun(tmp_path, monkeypatch):
+    """The multirun producer: comma-valued overrides sweep their product,
+    each combo running in its own subdir with a render.log the ASR/AP
+    analyzers can consume (hydra.sweep layout, configs/config.yaml)."""
+    from gsattack.cli import main
+
+    monkeypatch.chdir(REPO)
+    root = str(tmp_path / "mr")
+    rc = main(
+        [
+            "sweep",
+            "--sweep-dir", root,
+            "--subdir-fmt", "{detector_name}_{i}",
+            "write_images=false",
+            "attack_conf_thresh=0.3,0.5",
+        ]
+    )
+    assert rc == 0
+    subs = sorted(os.listdir(root))
+    assert subs == ["toy_0", "toy_1"]
+    for sub in subs:
+        log = os.path.join(root, sub, "render.log")
+        assert os.path.getsize(log) > 0
+        with open(os.path.join(root, sub, "overrides.yaml")) as f:
+            txt = f.read()
+        assert "attack_conf_thresh=0." in txt
+    # the two runs got the two swept values
+    texts = [
+        open(os.path.join(root, s, "overrides.yaml")).read() for s in subs
+    ]
+    assert any("0.3" in t for t in texts) and any("0.5" in t for t in texts)
+
+
 def test_cli_unknown_command():
     from gsattack.cli import main
 

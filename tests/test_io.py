@@ -191,6 +191,32 @@ def test_resolution_policy():
     assert apply_resolution_policy(800, 600, 400) == (400, 300)
 
 
+def test_load_image_applies_alpha_mask(tmp_path):
+    """RGBA GT images multiply RGB by alpha — the camera-level
+    gt_alpha_mask of the reference (`scene/cameras.py:43-44`)."""
+    from PIL import Image
+
+    from gsattack.io.dataset import _load_image
+
+    rgba = np.zeros((4, 6, 4), np.uint8)
+    rgba[..., 0] = 200  # red
+    rgba[..., 3] = 255
+    rgba[0, :, 3] = 0  # first row fully transparent
+    rgba[1, :, 3] = 128
+    p = str(tmp_path / "gt.png")
+    Image.fromarray(rgba, "RGBA").save(p)
+    img = _load_image(p)
+    assert img.shape == (4, 6, 3)
+    np.testing.assert_allclose(img[0], 0.0)
+    np.testing.assert_allclose(img[1, :, 0], (200 / 255) * (128 / 255), atol=1e-6)
+    np.testing.assert_allclose(img[2, :, 0], 200 / 255, atol=1e-6)
+    # plain RGB images untouched
+    rgb = np.full((4, 6, 3), 90, np.uint8)
+    p2 = str(tmp_path / "gt_rgb.png")
+    Image.fromarray(rgb, "RGB").save(p2)
+    np.testing.assert_allclose(_load_image(p2), 90 / 255, atol=1e-6)
+
+
 def test_colmap_binary_roundtrip(tmp_path):
     """Binary writers aren't in the reference; synthesize binary files by
     hand and check the binary readers parse them."""
