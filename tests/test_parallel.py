@@ -322,6 +322,43 @@ def test_sharded_pallas_measured_band_plan():
         )
 
 
+def test_sharded_pallas_compact_backward_matches_unsharded():
+    """An active compact budget (the pair-indexed backward) under
+    shard_map must still reproduce the unsharded gradients."""
+    from gsattack.core.camera import stack_cameras
+    from gsattack.parallel.pallas_shard import render_views_sharded
+    from gsattack.parallel.shardings import shard_camera_batch
+    from gsattack.render import render
+
+    sc = make_toy_scene(n=96, seed=3)
+    cams_list = _views(4)
+    cams = stack_cameras(cams_list)
+    mesh = make_mesh((2, 4))
+    bg = jnp.zeros(3)
+    sc_sh, cams_sh = shard_scene(sc, mesh), shard_camera_batch(cams, mesh)
+
+    def loss_sh(params):
+        o = render_views_sharded(
+            sc_sh.with_params(params), cams_sh, bg, mesh, max_chunks=8,
+            interpret=True, pairs_budget=8192, compact_budget=4096,
+        )
+        return jnp.mean(o**2)
+
+    def loss_ref(params):
+        s2 = sc.with_params(params)
+        tot = 0.0
+        for cam in cams_list:
+            tot = tot + jnp.mean(render(s2, cam, bg, max_chunks=8)["render"] ** 2)
+        return tot / 4
+
+    g1 = jax.grad(loss_sh)(sc_sh.params())
+    g0 = jax.grad(loss_ref)(sc.params())
+    for k in g0:
+        r, q = np.asarray(g0[k]), np.asarray(g1[k])
+        s = max(np.abs(r).max(), 1e-9)
+        np.testing.assert_allclose(q, r, atol=5e-5 * s, err_msg=k)
+
+
 def test_plan_bands():
     from gsattack.parallel.pallas_shard import plan_bands
 
