@@ -85,9 +85,12 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     jax.block_until_ready(grads)
     log(f"first fwd+bwd (compile + run): {time.perf_counter() - t0:.1f}s, loss={float(loss):.6f}")
 
-    # pre-upload the eps scalars so no host->device transfer rides the loop
+    # pre-upload the eps scalars so no host->device transfer rides the
+    # loop; clock-salted so no other bench PROCESS ever issued the same
+    # calls (the axon result cache is cross-process).
+    salt0 = (time.time_ns() % (1 << 20)) * 1e-38
     eps_seq = jax.block_until_ready(
-        [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
+        [jnp.float32((i + 1) * 1e-30 + salt0) for i in range(iters)])
     t0 = time.perf_counter()
     for e in eps_seq:
         loss, grads = vg(params, e)
@@ -111,13 +114,16 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
         # 1e-30 (not 0.0) so no algebraic simplification can erase it
         return (p, base), l + 1e-30 * gsum
 
-    # `base` differs between warmup and timed call so the axon result
-    # cache cannot replay the whole scan.
+    # `base` must differ between warmup and timed call AND between bench
+    # processes: the axon result cache is cross-process, and a constant
+    # 1e-30 replayed an earlier run's scan in 1 ms (bogus 10939 Mpix/s,
+    # r4) — derive it from the clock.
     scan_fn = jax.jit(lambda p, base: jax.lax.scan(
         scan_body, (p, base), jnp.arange(iters))[1])
-    ls = jax.block_until_ready(scan_fn(params, jnp.float32(0.0)))
+    salt = (time.time_ns() % (1 << 20)) * 1e-38
+    ls = jax.block_until_ready(scan_fn(params, jnp.float32(salt)))
     t0 = time.perf_counter()
-    ls = jax.block_until_ready(scan_fn(params, jnp.float32(1e-30)))
+    ls = jax.block_until_ready(scan_fn(params, jnp.float32(2 * salt + 1e-38)))
     dt = time.perf_counter() - t0
     mpix_scan = cam.width * cam.height * iters / dt / 1e6
     log(f"fwd+bwd scan: {iters} iters in {dt:.3f}s -> {mpix_scan:.2f} Mpix/s")
@@ -144,8 +150,9 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
 
     params = scene.params()
     img = jax.block_until_ready(fwd(params, jnp.float32(0.0)))
+    _salt = (time.time_ns() % (1 << 20)) * 1e-38  # cross-process cache foil
     eps_seq = jax.block_until_ready(
-        [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
+        [jnp.float32((i + 1) * 1e-30 + _salt) for i in range(iters)])
     t0 = time.perf_counter()
     for e in eps_seq:
         img = fwd(params, e)
@@ -285,8 +292,9 @@ def bench_fwd_bwd_views(scene, cam, iters: int, pairs: int, max_chunks: int,
     loss, grads = vg(params, jnp.float32(0.0))
     jax.block_until_ready(grads)
     log(f"first batched fwd+bwd (compile + run): {time.perf_counter() - t0:.1f}s")
+    _salt = (time.time_ns() % (1 << 20)) * 1e-38  # cross-process cache foil
     eps_seq = jax.block_until_ready(
-        [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
+        [jnp.float32((i + 1) * 1e-30 + _salt) for i in range(iters)])
     t0 = time.perf_counter()
     for e in eps_seq:
         loss, grads = vg(params, e)
@@ -328,7 +336,9 @@ def bench_bisect(scene, cam, iters: int, pairs: int, max_chunks: int,
         jfn = jax.jit(perturbed)
         out = jax.block_until_ready(jfn(params, jnp.float32(0.0)))
         eps_seq = jax.block_until_ready(
-            [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
+            [jnp.float32((i + 1) * 1e-30
+                          + (time.time_ns() % (1 << 20)) * 1e-38)
+             for i in range(iters)])
         t0 = time.perf_counter()
         for e in eps_seq:
             out = jfn(params, e)
@@ -420,7 +430,9 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
         jfn = jax.jit(lambda eps, a0, *rest: fn(perturb(a0, eps), *rest))
         out = jax.block_until_ready(jfn(jnp.float32(0.0), *args))
         eps_seq = jax.block_until_ready(
-            [jnp.float32((i + 1) * 1e-30) for i in range(iters)])
+            [jnp.float32((i + 1) * 1e-30
+                          + (time.time_ns() % (1 << 20)) * 1e-38)
+             for i in range(iters)])
         t0 = time.perf_counter()
         for e in eps_seq:
             out = jfn(e, *args)
