@@ -590,12 +590,13 @@ def _gather_pack_T_compact_fwd(unified, src_gauss, pair_slot, pair_gauss):
 
 def _gather_pack_T_compact_bwd(res, g):
     pair_slot, pair_gauss, n, src_shape = res
-    # Materialize the transpose BEFORE the gather: fused, XLA turns the
-    # row gather into strided column reads of the field-major cotangent
-    # plus a layout copy after (1.53 ms at 207k pairs, r4 HLO profile);
-    # one explicit transpose copy + a contiguous-row gather is ~3x cheaper.
     gT = jax.lax.optimization_barrier(g.T)
     upd = gT[pair_slot]  # (B, W): only in-budget pairs' cotangents
+    # (A row-major layout constraint on `upd` changes nothing: the 77
+    # ns/row scatter at 1.5M pairs is HBM-latency-bound on the
+    # destination — 33 MB of rows no longer fit VMEM — not a strided-
+    # update problem. Measured, r4; the table backward handles that
+    # regime instead.)
     extra = _DUMMY_ROWS
     dunified = jnp.zeros((n + extra, g.shape[0]), g.dtype).at[
         pair_gauss
@@ -613,6 +614,81 @@ _DUMMY_ROWS = 8192
 
 _gather_pack_T_compact.defvjp(
     _gather_pack_T_compact_fwd, _gather_pack_T_compact_bwd
+)
+
+
+# Compact-budget size above which the TABLE backward replaces the
+# compact scatter. The serial scatter costs ~13 ns/row at small sizes
+# (2.2 ms at the 100k bench scene's 166k valid pairs) but 77 ns/row once
+# XLA stops materializing the update operand row-major (115 ms at a
+# 500k@1600x1200 scene's 1.5M-pair budget — 60% of the whole frame, r4
+# profile). The table path costs one extra (gauss, slot) sort in the
+# forward plus an (N*c)-row gather-sum in the backward — worse below
+# ~1M pairs (measured 16.9 vs 15.4 ms device at 100k), far better above.
+_TABLE_MIN_PAIRS = 1_000_000
+
+
+def _fill_cummax(z: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cummax of a 1-D nonnegative i32 vector, hand-blocked.
+
+    lax.cummax's TPU lowering left a 10.7 ms fusion at 1.5M elements (a
+    {0,1}-layout blocked reduce_window, r4 large-scene profile). This is
+    the same two-level scan in explicitly ROW-MAJOR (rows, 128) blocks:
+    7 masked lane shifts for the intra-row scan, recursion on the (rows,)
+    row totals, one exclusive row-carry max — all full-lane VPU passes,
+    ~40 MB of traffic at 1.5M elements instead of 10.7 ms."""
+    n = z.shape[0]
+    if n <= 256:
+        pad = 256 - n
+        x = jnp.pad(z, (0, pad))[None, :]
+        for s in (1, 2, 4, 8, 16, 32, 64, 128):
+            x = jnp.maximum(x, jnp.pad(x, ((0, 0), (s, 0)))[:, :-s])
+        return x[0, :n]
+    rows = (n + 127) // 128
+    x = jnp.pad(z, (0, rows * 128 - n)).reshape(rows, 128)
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        x = jnp.maximum(x, jnp.pad(x, ((0, 0), (s, 0)))[:, :-s])
+    carry = _fill_cummax(x[:, -1])  # inclusive row totals
+    carry = jnp.pad(carry, (1, 0))[:-1]  # exclusive (values nonneg, id 0)
+    return jnp.maximum(x, carry[:, None]).reshape(-1)[:n]
+
+
+@jax.custom_vjp
+def _gather_pack_T_table(unified, src_gauss, slot_table):
+    """_gather_pack_T with a TABLE-indexed backward for LARGE scenes.
+    `slot_table` (N, c) maps each gaussian's c bin candidates to their
+    packed slot (-1 = invalid/out-of-budget), so the backward is one row
+    gather plus a per-gaussian sum over c — no serial scatter. The gather
+    reads the field-major cotangent strided (XLA cannot be made to
+    relayout first: optimization_barrier passes layouts through, dot(X,
+    I) is algebraically simplified away, with_layout_constraint's copy is
+    re-sunk after the gather) — acceptable here because the scatter it
+    replaces is ~10x slower at multi-million-pair scenes."""
+    n = unified.shape[0]
+    valid = src_gauss < n
+    rows = unified[jnp.where(valid, src_gauss, 0)]
+    return jnp.where(valid[None, :], rows.T, 0.0)
+
+
+def _gather_pack_T_table_fwd(unified, src_gauss, slot_table):
+    return (
+        _gather_pack_T_table(unified, src_gauss, slot_table),
+        (slot_table, src_gauss.shape),
+    )
+
+
+def _gather_pack_T_table_bwd(res, g):
+    slot_table, src_shape = res
+    gT = g.T  # (P_pad, W)
+    rows = gT[jnp.maximum(slot_table, 0)]  # (N, c, W)
+    rows = jnp.where((slot_table >= 0)[..., None], rows, 0.0)
+    dunified = rows.sum(axis=1)
+    f0 = lambda s: np.zeros(s, jax.dtypes.float0)
+    return dunified, f0(src_shape), f0(slot_table.shape)
+
+
+_gather_pack_T_table.defvjp(
+    _gather_pack_T_table_fwd, _gather_pack_T_table_bwd
 )
 
 
@@ -636,6 +712,10 @@ def pack_pairs(
     # (~half the padded slots) when this cap is set. Valid pairs beyond it
     # lose their gradient contribution (counted in num_budget_dropped) —
     # size it with margin. 0 = scatter every padded slot (always exact).
+    gauss_multiplicity: int = 0,  # the caller's guarantee that gauss_idx
+    # contains EVERY gaussian exactly this many times (bin_gaussians
+    # emits pairs_per_gaussian candidates per gaussian, valid or not) —
+    # unlocks the large-scene TABLE backward; 0 = no guarantee.
 ):
     """Lay out the sorted pairs field-major with every tile's range padded
     to a CHUNK multiple (the DMA alignment quantum).
@@ -700,7 +780,7 @@ def pack_pairs(
         # Zero-count tiles share a chunk with the next real tile; max
         # picks the real (largest-index) one, matching the slot fill.
         z = jnp.zeros(n_chunks, jnp.int32).at[packed_start // CHUNK].max(vals)
-        return jax.lax.cummax(z)
+        return _fill_cummax(z)
 
     start_c = cfill(packed_start)  # chunk -> its tile's packed start (slots)
     end_c = cfill(packed_end)  # chunk -> its tile's packed end (slots)
@@ -769,11 +849,42 @@ def pack_pairs(
         # OOB tile starts (>= b) drop; co-located zero-count tiles max to
         # the latest (owning) tile, matching cfill above.
         z = jnp.zeros(b, jnp.int32).at[ts].max(vals, mode="drop")
-        return jax.lax.cummax(z)
+        return _fill_cummax(z)
 
     delta_f = pfill(packed_start - ts)
     end_f = pfill(ts + (packed_end - packed_start))
     valid_k = kk < end_f
+    # In-slot-capacity pairs whose index exceeds the compact budget lose
+    # their backward contribution — count them with the other drops.
+    n_in_capacity = jnp.sum(packed_end - packed_start)
+    num_budget_dropped = num_budget_dropped + jnp.maximum(
+        n_in_capacity - jnp.sum(valid_k.astype(jnp.int32)), 0
+    ).astype(jnp.int32)
+
+    if (
+        gauss_multiplicity
+        and p == n * gauss_multiplicity
+        and b >= _TABLE_MIN_PAIRS
+    ):
+        # LARGE scenes: re-key the slot vector by GAUSSIAN. Every gaussian
+        # emits exactly c = P/N bin candidates (valid or not), so one
+        # unstable (gauss, slot) sort groups the slots into exact c-sized
+        # blocks and a reshape gives the (N, c) inverse table — replacing
+        # the serial scatter, which costs 77 ns/row here (XLA drops the
+        # row-major copy of the update operand at this size and reads it
+        # strided; 115 ms at 1.5M pairs, 60% of the whole frame).
+        slot_k = jnp.where(valid_k, kk + delta_f, -1)
+        slot_full = slot_k[:p] if b >= p else jnp.concatenate(
+            [slot_k, jnp.full((p - b,), -1, jnp.int32)]
+        )
+        _, table_flat = jax.lax.sort(
+            (gauss_idx.astype(jnp.uint32), slot_full),
+            num_keys=1, is_stable=False,
+        )
+        slot_table = table_flat.reshape(n, gauss_multiplicity)
+        packed = _gather_pack_T_table(unified, src_gauss, slot_table)
+        return packed, packed_start, packed_end, ch_pad, num_budget_dropped
+
     pair_slot = jnp.where(valid_k, kk + delta_f, p_pad - 1)
     g_b = gauss_idx.astype(jnp.int32)[:b]
     if b > p:
@@ -783,11 +894,5 @@ def pack_pairs(
     pair_gauss = jnp.where(
         valid_k, g_b, n + (kk & (_DUMMY_ROWS - 1))
     )
-    # In-slot-capacity pairs whose index exceeds the compact budget lose
-    # their backward contribution — count them with the other drops.
-    n_in_capacity = jnp.sum(packed_end - packed_start)
-    num_budget_dropped = num_budget_dropped + jnp.maximum(
-        n_in_capacity - jnp.sum(valid_k.astype(jnp.int32)), 0
-    ).astype(jnp.int32)
     packed = _gather_pack_T_compact(unified, src_gauss, pair_slot, pair_gauss)
     return packed, packed_start, packed_end, ch_pad, num_budget_dropped

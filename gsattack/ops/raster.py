@@ -483,9 +483,13 @@ def _blend_tiles_pallas(
         ],
         axis=-1,
     )
+    # bin_gaussians structurally emits EXACTLY pairs_per_gaussian
+    # candidates per gaussian (valid or sentinel-tiled) — the multiplicity
+    # guarantee behind pack_pairs's large-scene table backward.
     pair_packed, p_start, p_end, ch_pad, n_budget_dropped = pack_pairs(
         geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end,
         budget=pairs_budget, compact_budget=compact_budget,
+        gauss_multiplicity=bins.gauss_idx.shape[0] // geom_all.shape[0],
     )
     packed = pallas_blend(
         pair_packed, p_start, p_end, tiles_x, tiles_y, max_chunks, interpret,
@@ -684,6 +688,9 @@ def rasterize_views(
                 geom_all[vi], channels[vi], bins.gauss_idx, bins.tile_start,
                 bins.tile_end, budget=pairs_budget,
                 compact_budget=compact_budget,
+                gauss_multiplicity=(
+                    bins.gauss_idx.shape[0] // geom_all[vi].shape[0]
+                ),
             )
             + (bins.num_culled_pairs,)
         )

@@ -15,6 +15,9 @@ def main():
     ap.add_argument("--objects", action="store_true")
     ap.add_argument("--ops", default="")
     ap.add_argument("--full", action="store_true", help="print whole HLO")
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=800)
     args = ap.parse_args()
 
     import jax
@@ -28,7 +31,7 @@ def main():
         auto_compact_budget, auto_pair_caps, auto_pairs_budget)
     from gsattack.render import render
 
-    scene, cam = build_problem(100_000, 800, 800, 3)
+    scene, cam = build_problem(args.n, args.width, args.height, 3)
     proj = jax.jit(lambda s: project(s, cam))(scene)
     pairs, rect = auto_pair_caps(proj, cam.width, cam.height)
     if rect <= pairs:
@@ -38,7 +41,7 @@ def main():
     compact = auto_compact_budget(proj, cam.width, cam.height, pairs,
                                   margin=1.25, rect_candidates=rect)
     bg = jnp.zeros(3)
-    target = jnp.zeros((800, 800, 3))
+    target = jnp.zeros((args.height, args.width, 3))
 
     def loss_fn(p):
         out = render(scene.with_params(p), cam, bg, pairs_per_gaussian=pairs,

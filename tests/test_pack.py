@@ -214,3 +214,84 @@ def test_pack_pairs_channel_padding():
         gauss_idx, ts, te, 0,
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def random_problem_grouped(seed, n, c, num_tiles):
+    """bin_gaussians-shaped problem: every gaussian emits EXACTLY c
+    candidate pairs (tile == num_tiles is the invalid sentinel), pairs
+    sorted by tile with the invalid tail past the last tile's range —
+    the multiplicity contract behind the large-scene table backward."""
+    rng = np.random.default_rng(seed)
+    geom = rng.normal(size=(n, GEOM_W)).astype(np.float32)
+    channels = rng.normal(size=(n, 8)).astype(np.float32)
+    tid = rng.integers(0, num_tiles + 1, size=(n, c))
+    flat_t = tid.reshape(-1)
+    flat_g = np.repeat(np.arange(n), c)
+    order = np.argsort(flat_t, kind="stable")
+    st = flat_t[order]
+    gauss_idx = flat_g[order]
+    tile_start = np.searchsorted(st, np.arange(num_tiles), side="left")
+    tile_end = np.searchsorted(st, np.arange(num_tiles), side="right")
+    return geom, channels, gauss_idx, tile_start, tile_end, c
+
+
+@pytest.mark.parametrize("seed,budget", [(31, 0), (32, 1024)])
+def test_pack_pairs_table_backward_matches(seed, budget, monkeypatch):
+    """The large-scene TABLE backward ((N, c) slot-table gather-sum) must
+    produce identical gradients to the exact slot-indexed scatter when
+    the compact budget covers every valid pair. Exercised on CPU by
+    dropping the pair-count gate."""
+    import jax
+
+    from gsattack.ops import pallas_blend as pb
+
+    monkeypatch.setattr(pb, "_TABLE_MIN_PAIRS", 0)
+    geom, channels, gauss_idx, ts, te, c = random_problem_grouped(
+        seed, 30, 12, 8
+    )
+    args = (
+        jnp.asarray(gauss_idx, jnp.int32),
+        jnp.asarray(ts, jnp.int32),
+        jnp.asarray(te, jnp.int32),
+    )
+    cb = int(gauss_idx.shape[0]) + 256  # covers all valid pairs
+
+    def loss(g, ch, compact, mult):
+        out = pack_pairs(jnp.asarray(g), jnp.asarray(ch), *args,
+                         budget=budget, compact_budget=compact,
+                         gauss_multiplicity=mult)
+        packed = out[0]
+        w = jnp.cos(jnp.arange(packed.size, dtype=jnp.float32)).reshape(
+            packed.shape)
+        return jnp.sum(packed * w)
+
+    f0 = loss(geom, channels, 0, 0)
+    f1 = loss(geom, channels, cb, c)
+    np.testing.assert_allclose(float(f0), float(f1), rtol=1e-6)
+    g0 = jax.grad(loss, argnums=(0, 1))(geom, channels, 0, 0)
+    g1 = jax.grad(loss, argnums=(0, 1))(geom, channels, cb, c)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_pack_pairs_table_budget_overflow_counted(monkeypatch):
+    """Valid pairs beyond compact_budget lose their backward contribution
+    on the table path too — and are counted."""
+    from gsattack.ops import pallas_blend as pb
+
+    monkeypatch.setattr(pb, "_TABLE_MIN_PAIRS", 0)
+    geom, channels, gauss_idx, ts, te, c = random_problem_grouped(
+        33, 40, 10, 5
+    )
+    total_valid = int(te[-1])
+    tight = 128
+    assert total_valid > tight
+    out = pack_pairs(
+        jnp.asarray(geom), jnp.asarray(channels),
+        jnp.asarray(gauss_idx, jnp.int32),
+        jnp.asarray(ts, jnp.int32), jnp.asarray(te, jnp.int32),
+        budget=0, compact_budget=tight, gauss_multiplicity=c,
+    )
+    assert int(out[4]) == total_valid - tight
