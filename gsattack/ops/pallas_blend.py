@@ -680,9 +680,16 @@ def _gather_pack_T_table_fwd(unified, src_gauss, slot_table):
 def _gather_pack_T_table_bwd(res, g):
     slot_table, src_shape = res
     gT = g.T  # (P_pad, W)
-    rows = gT[jnp.maximum(slot_table, 0)]  # (N, c, W)
-    rows = jnp.where((slot_table >= 0)[..., None], rows, 0.0)
-    dunified = rows.sum(axis=1)
+    c = slot_table.shape[1]
+    idx = slot_table.reshape(-1)
+    rows = gT[jnp.maximum(idx, 0)]  # (N*c, W) FLAT: the 3-D (N, c, W)
+    # gather form left ~25 ms of relayout (a (6,16)->(8,128) tile-padded
+    # intermediate + a 16-step while loop) at 7M candidates; the flat
+    # form plus a non-overlapping reduce_window keeps one 2-D layout.
+    rows = jnp.where((idx >= 0)[:, None], rows, 0.0)
+    dunified = jax.lax.reduce_window(
+        rows, 0.0, jax.lax.add, (c, 1), (c, 1), "VALID"
+    )
     f0 = lambda s: np.zeros(s, jax.dtypes.float0)
     return dunified, f0(src_shape), f0(slot_table.shape)
 
@@ -861,10 +868,15 @@ def pack_pairs(
         n_in_capacity - jnp.sum(valid_k.astype(jnp.int32)), 0
     ).astype(jnp.int32)
 
+    # The table gather's cost scales with the unified row WIDTH while the
+    # scatter's serial per-row cost does not — at W=32 (objects mode) the
+    # table lost to the scatter at a 1.2M budget (4.7 vs 7.4 Mpix/s, r4
+    # scale bench) where W=16 RGB won (13.0 vs 10.2). Scale the gate.
+    unified_w = geom_all.shape[1] + ch_pad
     if (
         gauss_multiplicity
         and p == n * gauss_multiplicity
-        and b >= _TABLE_MIN_PAIRS
+        and b >= _TABLE_MIN_PAIRS * max(1, unified_w // 16)
     ):
         # LARGE scenes: re-key the slot vector by GAUSSIAN. Every gaussian
         # emits exactly c = P/N bin candidates (valid or not), so one
