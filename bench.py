@@ -55,7 +55,7 @@ def build_problem(n_points: int, width: int, height: int, sh_degree: int):
     return scene, cam
 
 
-def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False, rect: int = 0, compact_budget: int = 0):
+def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int, backend: str = "xla", pairs_budget: int = 0, with_objects: bool = False, rect: int = 0, compact_budget: int = 0, tier=(0, 0)):
     import jax
     import jax.numpy as jnp
 
@@ -71,6 +71,7 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
             max_chunks=max_chunks, backend=backend, pairs_budget=pairs_budget,
             with_objects=with_objects, rect_candidates=rect,
             compact_budget=compact_budget,
+            tier_split=tier[0], heavy_budget=tier[1],
         )
         return jnp.mean((out["render"] - target) ** 2)
 
@@ -212,7 +213,8 @@ def bench_train(scene, cam, iters: int, pairs: int, max_chunks: int,
 
 
 def check_parity(scene, cam, pairs, chunk, max_chunks, pairs_budget,
-                 with_objects, rect: int = 0, compact_budget: int = 0):
+                 with_objects, rect: int = 0, compact_budget: int = 0,
+                 tier=(0, 0)):
     """Compiled pallas vs XLA fwd + grads on the bench scene (VERDICT r2
     item 6): the driver loop runs this every round, so a Mosaic regression
     ships loudly instead of silently. Returns (max_rel_err, ok)."""
@@ -231,6 +233,10 @@ def check_parity(scene, cam, pairs, chunk, max_chunks, pairs_budget,
             max_chunks=max_chunks, backend=backend, pairs_budget=budget,
             with_objects=with_objects, rect_candidates=rect,
             compact_budget=compact_budget if backend == "pallas" else 0,
+            # BOTH backends get the tier caps: the tiered bin reorders
+            # quantized-depth ties, and the gate must compare identical
+            # pair orders (ties are pointwise-visible, not epsilon).
+            tier_split=tier[0], heavy_budget=tier[1],
         )
         return jnp.mean((out["render"] - target) ** 2), out["render"]
 
@@ -621,6 +627,11 @@ def main():
     ap.add_argument("--compact-budget", type=int, default=-1,
                     help="pair-indexed backward scatter capacity; -1: auto "
                          "(measured valid pairs * margin), 0: off")
+    ap.add_argument("--tier-split", type=int, default=-1,
+                    help="tiered-bin split c1; -1: auto (measured survivor "
+                         "histogram, off when unprofitable), 0: off")
+    ap.add_argument("--heavy-budget", type=int, default=-1,
+                    help="tiered-bin heavy-gaussian capacity; -1: auto")
     ap.add_argument("--mode", default="raster",
                     choices=["raster", "raster-views", "pgd", "stages",
                              "bisect", "scale", "train"])
@@ -705,7 +716,8 @@ def main():
     scene, cam = build_problem(args.n_points, args.width, args.height, args.sh_degree)
     log(f"scene: {scene.num_points} splats, SH{args.sh_degree}, {args.width}x{args.height}")
     if args.pairs < 0 or args.rect < 0 or (
-        args.pairs_budget < 0 and args.backend == "pallas"
+        (args.pairs_budget < 0 or args.tier_split < 0)
+        and args.backend == "pallas"
     ):
         from gsattack.ops.project import project
         from gsattack.ops.raster import (
@@ -753,8 +765,19 @@ def main():
         )
     elif compact < 0:
         compact = 0
+    tier = (max(args.tier_split, 0), max(args.heavy_budget, 0))
+    if (
+        args.tier_split < 0
+        and args.backend == "pallas"
+        and args.rect > args.pairs
+    ):
+        from gsattack.ops.raster import auto_tier_caps
+
+        tier = auto_tier_caps(
+            proj0, args.width, args.height, args.pairs, args.rect,
+        )
     log(f"backend={args.backend} pairs={args.pairs} rect={args.rect} "
-        f"pairs_budget={budget} compact_budget={compact}")
+        f"pairs_budget={budget} compact_budget={compact} tier={tier}")
 
     if args.mode == "train":
         ips = bench_train(
@@ -846,7 +869,7 @@ def main():
     else:
         mpix, mpix_scan = bench_fwd_bwd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, budget, args.objects, args.rect, compact,
+            args.backend, budget, args.objects, args.rect, compact, tier,
         )
         metric = "fwd_bwd_mpix_per_s"
 
@@ -863,7 +886,7 @@ def main():
     if args.mode == "raster" and not args.forward_only and not args.objects:
         mpix_obj, _ = bench_fwd_bwd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
-            args.backend, budget, True, args.rect, compact,
+            args.backend, budget, True, args.rect, compact, tier,
         )
         record["with_objects_mpix_per_s"] = round(mpix_obj, 3)
         record["scan_mpix_per_s"] = round(mpix_scan, 3)
@@ -875,7 +898,7 @@ def main():
     if run_parity:
         max_err, ok = check_parity(
             scene, cam, args.pairs, args.chunk, args.max_chunks, budget,
-            args.objects, args.rect, compact,
+            args.objects, args.rect, compact, tier,
         )
         record["parity_max_rel_err"] = float(f"{max_err:.3e}")
         record["parity_ok"] = bool(ok)

@@ -75,6 +75,10 @@ class AttackConfig:
     # Pair-indexed backward-scatter capacity (-1 = auto-measure with the
     # other caps; 0 = off). See ops/pallas_blend.pack_pairs.
     compact_budget: int = 0
+    # Tiered-bin caps for large scenes (-1 = auto-measure with the other
+    # caps, off when unprofitable; 0 = off). See ops/raster.bin_gaussians.
+    tier_split: int = 0
+    heavy_budget: int = 0
     save_ply: bool = True
     # Checkpoint/resume (capability the reference lacks, SURVEY §5): save
     # attack state every N iterations; resume picks up pending views + params.
@@ -104,6 +108,8 @@ def render_views(
     rect_candidates: int = 0,
     mesh=None,
     compact_budget: int = 0,
+    tier_split: int = 0,
+    heavy_budget: int = 0,
 ) -> jnp.ndarray:
     """Batched multi-view render -> (B, H, W, 3). `cams` is a stacked Camera.
 
@@ -161,6 +167,8 @@ def render_views(
             pairs_budget=pairs_budget,
             rect_candidates=rect_candidates,
             compact_budget=compact_budget,
+            tier_split=tier_split,
+            heavy_budget=heavy_budget,
             # compiled Mosaic needs a TPU; CPU (tests/dev) interprets
             interpret=jax.default_backend() == "cpu",
         )["render"]
@@ -266,6 +274,7 @@ def run_dagger(
         or cfg.pairs_budget < 0
         or cfg.rect_candidates < 0
         or cfg.compact_budget < 0
+        or cfg.tier_split < 0
     ):
         from ..ops.project import project
         from ..ops.raster import (
@@ -326,6 +335,28 @@ def run_dagger(
             )
             cfg = dataclasses.replace(cfg, compact_budget=compact)
             log(f"[Info] Auto-sized compact_budget = {compact}")
+        if cfg.tier_split < 0:
+            from ..ops.raster import auto_tier_caps
+
+            if cfg.rect_candidates > cfg.pairs_per_gaussian:
+                tcaps = [
+                    auto_tier_caps(
+                        p, c.width, c.height, cfg.pairs_per_gaussian,
+                        cfg.rect_candidates,
+                    )
+                    for p, c in projs
+                ]
+                # One static config across views: the largest split keeps
+                # tier A covering at least as much everywhere, and the
+                # largest heavy capacity is margin, not correctness.
+                ts = max(t for t, _ in tcaps)
+                hb = max(h for _, h in tcaps) if ts else 0
+            else:
+                ts = hb = 0
+            cfg = dataclasses.replace(cfg, tier_split=ts, heavy_budget=hb)
+            if ts:
+                log(f"[Info] Auto-sized tier_split = {ts}, "
+                    f"heavy_budget = {hb}")
 
     # ---- benign pass: silhouette GT boxes on black bg (attack.py:433-461)
     @jax.jit
@@ -361,7 +392,7 @@ def run_dagger(
         imgs = render_views(
             sc, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks,
             cfg.backend, cfg.pairs_budget, cfg.rect_candidates, mesh,
-            cfg.compact_budget,
+            cfg.compact_budget, cfg.tier_split, cfg.heavy_budget,
         )
         return detector.loss(imgs, target_idx, bboxes)
 

@@ -208,6 +208,8 @@ def cmd_attack(argv):
         pairs_budget=cfg.get("pairs_budget", 0),
         rect_candidates=cfg.get("rect_candidates", 0),
         compact_budget=cfg.get("compact_budget", 0),
+        tier_split=cfg.get("tier_split", 0),
+        heavy_budget=cfg.get("heavy_budget", 0),
     )
     # The PGD view batch is batch_size views only in batch_mode; otherwise
     # the attack steps one view at a time and the views axis must be 1.

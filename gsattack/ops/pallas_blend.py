@@ -32,6 +32,7 @@ per-pair gradients in the same packed layout; the caller's
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -625,7 +626,8 @@ _gather_pack_T_compact.defvjp(
 # profile). The table path costs one extra (gauss, slot) sort in the
 # forward plus an (N*c)-row gather-sum in the backward — worse below
 # ~1M pairs (measured 16.9 vs 15.4 ms device at 100k), far better above.
-_TABLE_MIN_PAIRS = 1_000_000
+# Env override for A/B tuning on real hardware.
+_TABLE_MIN_PAIRS = int(os.environ.get("GSATTACK_TABLE_MIN_PAIRS", 1_000_000))
 
 
 def _fill_cummax(z: jnp.ndarray) -> jnp.ndarray:
@@ -699,6 +701,63 @@ _gather_pack_T_table.defvjp(
 )
 
 
+@jax.custom_vjp
+def _gather_pack_T_table2(unified, src_gauss, table1, table2, heavy_list):
+    """_gather_pack_T with the TWO-TIER table backward (tiered bin):
+    `table1` (N, c1) maps every gaussian's tier-A candidates to packed
+    slots, `table2` (H, c-c1) the heavy gaussians' overflow candidates
+    (rows index the heavy rank; `heavy_list` (H,) maps rank -> gaussian,
+    padded with N). The backward is two flat row gathers + windowed sums
+    plus one H-row scatter-add merge — the candidate count (and so the
+    dominant gather) shrinks with the tiered bin's flat pair list (3.2x
+    at the 500k probe scene vs the single (N, c_max) table)."""
+    n = unified.shape[0]
+    valid = src_gauss < n
+    rows = unified[jnp.where(valid, src_gauss, 0)]
+    return jnp.where(valid[None, :], rows.T, 0.0)
+
+
+def _gather_pack_T_table2_fwd(unified, src_gauss, table1, table2, heavy_list):
+    return (
+        _gather_pack_T_table2(unified, src_gauss, table1, table2, heavy_list),
+        (table1, table2, heavy_list, src_gauss.shape),
+    )
+
+
+def _gather_pack_T_table2_bwd(res, g):
+    table1, table2, heavy_list, src_shape = res
+    gT = g.T  # (P_pad, W)
+
+    def tier_sum(table):
+        c = table.shape[1]
+        idx = table.reshape(-1)
+        rows = gT[jnp.maximum(idx, 0)]  # flat (rows, W); see the single-
+        # table note on why NOT the 3-D (N, c, W) gather form
+        rows = jnp.where((idx >= 0)[:, None], rows, 0.0)
+        return jax.lax.reduce_window(
+            rows, 0.0, jax.lax.add, (c, 1), (c, 1), "VALID"
+        )
+
+    d1 = tier_sum(table1)  # (N, W)
+    d2 = tier_sum(table2)  # (H, W)
+    # Merge the heavy overflow sums at their real rows; the N padding
+    # entries of heavy_list are out of bounds and drop.
+    dunified = d1.at[heavy_list].add(d2, mode="drop")
+    f0 = lambda s: np.zeros(s, jax.dtypes.float0)
+    return (
+        dunified,
+        f0(src_shape),
+        f0(table1.shape),
+        f0(table2.shape),
+        f0(heavy_list.shape),
+    )
+
+
+_gather_pack_T_table2.defvjp(
+    _gather_pack_T_table2_fwd, _gather_pack_T_table2_bwd
+)
+
+
 def pack_pairs(
     geom_all: jnp.ndarray,  # (N, GEOM_W) per-GAUSSIAN geometry
     channels: jnp.ndarray,  # (N, CH) per-gaussian colors
@@ -723,6 +782,14 @@ def pack_pairs(
     # contains EVERY gaussian exactly this many times (bin_gaussians
     # emits pairs_per_gaussian candidates per gaussian, valid or not) —
     # unlocks the large-scene TABLE backward; 0 = no guarantee.
+    table_idx: jnp.ndarray | None = None,  # (P,) tiered-bin TABLE ids of
+    # the sorted pairs (bin_gaussians tier_split/heavy_budget): real id
+    # for tier-A pairs, n + heavy_rank for tier-B overflow pairs — every
+    # real id appears exactly tier_split times and every virtual id
+    # exactly (c - tier_split) times, so one (id, slot) sort + two
+    # reshapes give both backward tables.
+    heavy_list: jnp.ndarray | None = None,  # (heavy_budget,) rank -> id
+    tier_split: int = 0,
 ):
     """Lay out the sorted pairs field-major with every tile's range padded
     to a CHUNK multiple (the DMA alignment quantum).
@@ -868,33 +935,51 @@ def pack_pairs(
         n_in_capacity - jnp.sum(valid_k.astype(jnp.int32)), 0
     ).astype(jnp.int32)
 
-    # The table gather's cost scales with the unified row WIDTH while the
-    # scatter's serial per-row cost does not — at W=32 (objects mode) the
-    # table lost to the scatter at a 1.2M budget (4.7 vs 7.4 Mpix/s, r4
-    # scale bench) where W=16 RGB won (13.0 vs 10.2). Scale the gate.
+    # The table gather's cost scales with the flat CANDIDATE count times
+    # the unified row WIDTH (~6 ns/row at W=16); the scatter's serial
+    # per-row cost turns HBM-bound (13 -> 77 ns/row) once the compact
+    # budget passes ~1M rows. One cost-model gate reproduces every r4
+    # A/B: 100k -> scatter (2.2 ms, b < 1M), 500k RGB -> table (13.0 vs
+    # 10.2 Mpix/s), 500k objects untiered -> scatter (4.7 vs 7.4 — the
+    # 7M-candidate gather at W=32 loses), 500k tiered -> table (the
+    # tiered bin cuts the candidates 3.2x).
     unified_w = geom_all.shape[1] + ch_pad
-    if (
-        gauss_multiplicity
-        and p == n * gauss_multiplicity
-        and b >= _TABLE_MIN_PAIRS * max(1, unified_w // 16)
-    ):
-        # LARGE scenes: re-key the slot vector by GAUSSIAN. Every gaussian
-        # emits exactly c = P/N bin candidates (valid or not), so one
-        # unstable (gauss, slot) sort groups the slots into exact c-sized
-        # blocks and a reshape gives the (N, c) inverse table — replacing
-        # the serial scatter, which costs 77 ns/row here (XLA drops the
+    tiered = (
+        table_idx is not None and heavy_list is not None and tier_split > 0
+    )
+    mult_ok = tiered or (gauss_multiplicity and p == n * gauss_multiplicity)
+    if mult_ok and b >= _TABLE_MIN_PAIRS and p * unified_w < 112 * b:
+        # LARGE scenes: re-key the slot vector by (possibly virtual)
+        # GAUSSIAN id. Every id appears an exact static number of times
+        # (valid or not), so one unstable (id, slot) sort groups the
+        # slots into exact-size blocks and reshapes give the inverse
+        # table(s) — replacing the serial scatter (XLA drops the
         # row-major copy of the update operand at this size and reads it
         # strided; 115 ms at 1.5M pairs, 60% of the whole frame).
         slot_k = jnp.where(valid_k, kk + delta_f, -1)
         slot_full = slot_k[:p] if b >= p else jnp.concatenate(
             [slot_k, jnp.full((p - b,), -1, jnp.int32)]
         )
-        _, table_flat = jax.lax.sort(
-            (gauss_idx.astype(jnp.uint32), slot_full),
-            num_keys=1, is_stable=False,
-        )
-        slot_table = table_flat.reshape(n, gauss_multiplicity)
-        packed = _gather_pack_T_table(unified, src_gauss, slot_table)
+        if tiered:
+            hb = heavy_list.shape[0]
+            c1 = tier_split
+            assert (p - n * c1) % hb == 0, (p, n, c1, hb)
+            _, table_flat = jax.lax.sort(
+                (table_idx.astype(jnp.uint32), slot_full),
+                num_keys=1, is_stable=False,
+            )
+            table1 = table_flat[: n * c1].reshape(n, c1)
+            table2 = table_flat[n * c1 :].reshape(hb, (p - n * c1) // hb)
+            packed = _gather_pack_T_table2(
+                unified, src_gauss, table1, table2, heavy_list
+            )
+        else:
+            _, table_flat = jax.lax.sort(
+                (gauss_idx.astype(jnp.uint32), slot_full),
+                num_keys=1, is_stable=False,
+            )
+            slot_table = table_flat.reshape(n, gauss_multiplicity)
+            packed = _gather_pack_T_table(unified, src_gauss, slot_table)
         return packed, packed_start, packed_end, ch_pad, num_budget_dropped
 
     pair_slot = jnp.where(valid_k, kk + delta_f, p_pad - 1)

@@ -50,6 +50,13 @@ class TileBins(NamedTuple):
     tile_start: jnp.ndarray  # (num_tiles,)
     tile_end: jnp.ndarray  # (num_tiles,)
     num_culled_pairs: jnp.ndarray  # () int32 pairs dropped by the static cap
+    # Tiered-bin extras (None when tier_split == 0): the sorted pairs'
+    # TABLE ids (real gaussian id for tier-A pairs, N + heavy_rank for
+    # tier-B overflow pairs) and the heavy-gaussian id list (padded with
+    # N). Together they let pack_pairs build the two-tier backward tables
+    # with one (id, slot) sort + two reshapes.
+    table_idx: jnp.ndarray | None = None  # (P,) int32
+    heavy_list: jnp.ndarray | None = None  # (heavy_budget,) int32
 
 
 def _tile_rect(mean2d, radius, tiles_x, tiles_y):
@@ -112,6 +119,8 @@ def bin_gaussians(
     conic: jnp.ndarray | None = None,
     opacity: jnp.ndarray | None = None,
     rect_candidates: int = 0,
+    tier_split: int = 0,
+    heavy_budget: int = 0,
 ) -> TileBins:
     """Build depth-sorted per-tile index lists with static shapes.
 
@@ -130,7 +139,21 @@ def bin_gaussians(
     (a ~10-stage network over C columns vs ~440 for the global pair sort),
     and only the first `pairs_per_gaussian` columns feed the global sort —
     on the bench scene the max rect footprint is 9 but max survivors is 5,
-    so the N*C global sort halves. 0 disables compaction."""
+    so the N*C global sort halves. 0 disables compaction.
+
+    `tier_split`/`heavy_budget` (both > 0, compaction required) enable the
+    TIERED emission for large scenes: per-gaussian survivor counts are
+    heavily skewed (500k probe scene: mean 2.4, max 14 — a uniform c=14
+    emission is 7M candidates for 1.2M valid pairs), so every gaussian
+    emits only its first `tier_split` compacted columns under its real id,
+    and the <= `heavy_budget` HEAVY gaussians (survivors > tier_split,
+    index-ordered, tail overflow counted in num_culled_pairs) re-emit
+    their remaining columns under a VIRTUAL id N + heavy_rank. The flat
+    pair list shrinks to N*c1 + H*(c - c1) (3.2x at the 500k probe) — the
+    global sort, the backward's (id, slot) sort and the table backward's
+    candidate gather all scale with it. The depth sort carries BOTH ids
+    (real for the forward pack, table for the backward); `TileBins` gains
+    `table_idx` + `heavy_list` for pack_pairs' two-tier backward."""
     n = mean2d.shape[0]
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
@@ -197,22 +220,62 @@ def bin_gaussians(
         (q * np.float32(2.0**depth_bits)).astype(jnp.uint32),
         np.uint32(2**depth_bits - 1),
     )
-    key = (
-        jnp.left_shift(tile_id.astype(jnp.uint32), depth_bits)
-        | jnp.broadcast_to(dq[:, None], (n, c))
-    ).reshape(-1)
-    flat_gidx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, c)
-    ).reshape(-1)
-    # is_stable=False: a stable sort makes XLA carry an extra iota
-    # tiebreaker through the 600k-element sort (~3 arrays instead of 2).
-    # Ties are (tile, quantized-depth) collisions whose blend order is
-    # semantically arbitrary — the reference's radix sort is likewise
-    # arbitrary across equal keys, and the oracle orders by TRUE depth,
-    # which a stable candidate-index order doesn't reproduce either.
-    sorted_key, sorted_gidx = jax.lax.sort(
-        (key, flat_gidx), num_keys=1, is_stable=False
-    )
+    use_tier = compact and 0 < tier_split < c and heavy_budget > 0
+    if use_tier:
+        c1, hb = tier_split, heavy_budget
+        ids = jnp.arange(n, dtype=jnp.int32)
+        count = jnp.sum(valid, axis=1).astype(jnp.int32)
+        heavy = count > c1
+        # Heavy rank in index order (matches the sorted selection below).
+        rank = jnp.cumsum(heavy.astype(jnp.int32)) - 1
+        heavy_list = jax.lax.sort(jnp.where(heavy, ids, n))[:hb]  # pad n
+        # Heavy gaussians past the static capacity lose their overflow
+        # columns (their first c1 survive in tier A) — observable drop.
+        overflow = overflow + jnp.where(
+            heavy & (rank >= hb), count - c1, 0
+        )
+        hsafe = jnp.minimum(heavy_list, n - 1)
+        pad_h = (heavy_list >= n)[:, None]
+        tile_b = jnp.where(pad_h, num_tiles, tile_id[hsafe][:, c1:])
+        key = jnp.concatenate([
+            (jnp.left_shift(tile_id[:, :c1].astype(jnp.uint32), depth_bits)
+             | dq[:, None]).reshape(-1),
+            (jnp.left_shift(tile_b.astype(jnp.uint32), depth_bits)
+             | dq[hsafe][:, None]).reshape(-1),
+        ])
+        flat_gidx = jnp.concatenate([
+            jnp.broadcast_to(ids[:, None], (n, c1)).reshape(-1),
+            jnp.broadcast_to(hsafe[:, None], (hb, c - c1)).reshape(-1),
+        ])
+        flat_tid = jnp.concatenate([
+            jnp.broadcast_to(ids[:, None], (n, c1)).reshape(-1),
+            jnp.broadcast_to(
+                (n + jnp.arange(hb, dtype=jnp.int32))[:, None],
+                (hb, c - c1),
+            ).reshape(-1),
+        ])
+        sorted_key, sorted_gidx, sorted_tid = jax.lax.sort(
+            (key, flat_gidx, flat_tid), num_keys=1, is_stable=False
+        )
+    else:
+        heavy_list = sorted_tid = None
+        key = (
+            jnp.left_shift(tile_id.astype(jnp.uint32), depth_bits)
+            | jnp.broadcast_to(dq[:, None], (n, c))
+        ).reshape(-1)
+        flat_gidx = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[:, None], (n, c)
+        ).reshape(-1)
+        # is_stable=False: a stable sort makes XLA carry an extra iota
+        # tiebreaker through the 600k-element sort (~3 arrays instead of
+        # 2). Ties are (tile, quantized-depth) collisions whose blend
+        # order is semantically arbitrary — the reference's radix sort is
+        # likewise arbitrary across equal keys, and the oracle orders by
+        # TRUE depth, which a stable candidate-index order doesn't
+        # reproduce either.
+        sorted_key, sorted_gidx = jax.lax.sort(
+            (key, flat_gidx), num_keys=1, is_stable=False
+        )
     tids = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
     # scan_unrolled: the default scan method wraps the ~20 binary-search
     # gathers in a while loop whose per-step tuple threading costs as much
@@ -225,7 +288,10 @@ def bin_gaussians(
     tile_start = bounds[:-1]
     tile_end = bounds[1:]
     culled = jnp.sum(overflow)
-    return TileBins(sorted_gidx, tile_start, tile_end, culled)
+    return TileBins(
+        sorted_gidx, tile_start, tile_end, culled,
+        table_idx=sorted_tid, heavy_list=heavy_list,
+    )
 
 
 def auto_pairs_budget(
@@ -342,6 +408,53 @@ def auto_pair_caps(
     keep = max(int(counts.max()), floor)
     keep = ((keep + quantum - 1) // quantum) * quantum
     return min(keep, rect), rect
+
+
+def auto_tier_caps(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    pairs_per_gaussian: int,
+    rect_candidates: int,
+    margin: float = 1.6,
+    quantum: int = 1024,
+) -> tuple[int, int]:
+    """Measure the tiered-bin capacities `(tier_split, heavy_budget)` for
+    `bin_gaussians` from one view's per-gaussian survivor-count histogram:
+    pick the split c1 minimizing the flat candidate count
+    N*c1 + heavy(c1)*margin*(c - c1), and size the heavy capacity with
+    margin (the heavy SET shifts as an attack perturbs the scene).
+    Returns (0, 0) when tiering isn't profitable (best cut < 20%) or not
+    applicable (no row compaction). Host-side; call at setup, max over
+    cameras (each distinct value is a recompile)."""
+    c = pairs_per_gaussian
+    if not (rect_candidates > c):
+        return 0, 0
+    n = proj.mean2d.shape[0]
+    bins = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_tight, width, height,
+        c, conic=proj.conic, opacity=proj.opacity,
+        rect_candidates=rect_candidates,
+    )
+    p_valid = jnp.sum(bins.tile_end - bins.tile_start)
+    counts = np.asarray(jnp.bincount(
+        jnp.where(
+            jnp.arange(bins.gauss_idx.shape[0]) < p_valid,
+            bins.gauss_idx, n,
+        ),
+        length=n + 1,
+    )[:n])
+    best = (n * c, 0, 0)
+    for c1 in range(1, c):
+        heavy = int((counts > c1).sum())
+        hb = int(heavy * margin) + quantum
+        hb = ((hb + quantum - 1) // quantum) * quantum
+        flat = n * c1 + hb * (c - c1)
+        if flat < best[0]:
+            best = (flat, c1, hb)
+    if best[0] > 0.8 * n * c:
+        return 0, 0
+    return best[1], best[2]
 
 
 def _blend_tiles(
@@ -465,6 +578,7 @@ def _blend_tiles_pallas(
     interpret: bool,
     pairs_budget: int = 0,
     compact_budget: int = 0,
+    tier_split: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas-kernel blend path (ops/pallas_blend.py). The per-pair gather +
     aligned re-pack here are differentiable; their transpose scatter-adds
@@ -485,11 +599,20 @@ def _blend_tiles_pallas(
     )
     # bin_gaussians structurally emits EXACTLY pairs_per_gaussian
     # candidates per gaussian (valid or sentinel-tiled) — the multiplicity
-    # guarantee behind pack_pairs's large-scene table backward.
+    # guarantee behind pack_pairs's large-scene table backward. With the
+    # tiered bin the per-TIER multiplicities are exact instead and ride
+    # table_idx/heavy_list.
+    mult = (
+        0
+        if bins.table_idx is not None
+        else bins.gauss_idx.shape[0] // geom_all.shape[0]
+    )
     pair_packed, p_start, p_end, ch_pad, n_budget_dropped = pack_pairs(
         geom_all, channels, bins.gauss_idx, bins.tile_start, bins.tile_end,
         budget=pairs_budget, compact_budget=compact_budget,
-        gauss_multiplicity=bins.gauss_idx.shape[0] // geom_all.shape[0],
+        gauss_multiplicity=mult,
+        table_idx=bins.table_idx, heavy_list=bins.heavy_list,
+        tier_split=tier_split,
     )
     packed = pallas_blend(
         pair_packed, p_start, p_end, tiles_x, tiles_y, max_chunks, interpret,
@@ -520,7 +643,7 @@ def _blend_tiles_pallas(
     static_argnames=(
         "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
         "backend", "interpret", "pairs_budget", "with_objects",
-        "rect_candidates", "compact_budget",
+        "rect_candidates", "compact_budget", "tier_split", "heavy_budget",
     ),
 )
 def rasterize(
@@ -537,6 +660,8 @@ def rasterize(
     with_objects: bool = True,
     rect_candidates: int = 0,
     compact_budget: int = 0,
+    tier_split: int = 0,
+    heavy_budget: int = 0,
 ) -> dict:
     """Full tile rasterization of projected Gaussians.
 
@@ -550,15 +675,24 @@ def rasterize(
     the fixed DMA-alignment quantum (pallas_blend.CHUNK = 128).
     `pairs_budget` (pallas only) statically caps the packed pair list —
     ~4x the point count is a safe default for trained scenes.
+    `tier_split`/`heavy_budget` (pallas only) enable the tiered bin for
+    large scenes — size them with `auto_tier_caps`.
 
     Returns dict with `render` (H, W, 3), `render_object` (H, W, C_obj),
     `final_transmittance` (H, W) and `num_culled_pairs` (static-capacity
     overflow diagnostic).
     """
+    # The tiered bin changes the flat emission ORDER, so quantized-depth
+    # TIES can resolve differently than untiered (semantically arbitrary,
+    # like the reference's radix sort — but pointwise visible when two
+    # high-alpha splats share a depth bin). Both backends consume the same
+    # tiered bin (XLA ignores the table fields) so pallas-vs-xla parity
+    # compares identical pair orders.
     bins = bin_gaussians(
         proj.mean2d, proj.depth, proj.radius_tight, width, height,
         pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
         rect_candidates=rect_candidates,
+        tier_split=tier_split, heavy_budget=heavy_budget,
     )
     channels = (
         jnp.concatenate([proj.color, proj.obj], axis=-1)
@@ -568,7 +702,7 @@ def rasterize(
     if backend == "pallas":
         img, T, num_truncated = _blend_tiles_pallas(
             bins, proj, channels, width, height, chunk, max_chunks, interpret,
-            pairs_budget, compact_budget,
+            pairs_budget, compact_budget, tier_split,
         )
     else:
         img, T = _blend_tiles(
@@ -630,6 +764,8 @@ def rasterize_views(
     with_objects: bool = True,
     rect_candidates: int = 0,
     compact_budget: int = 0,
+    tier_split: int = 0,
+    heavy_budget: int = 0,
 ) -> dict:
     """Multi-view batched rasterization.
 
@@ -682,6 +818,7 @@ def rasterize_views(
             proj.mean2d[vi], proj.depth[vi], proj.radius_tight[vi], width,
             height, pairs_per_gaussian, conic=proj.conic[vi],
             opacity=proj.opacity[vi], rect_candidates=rect_candidates,
+            tier_split=tier_split, heavy_budget=heavy_budget,
         )
         per_view.append(
             pack_pairs(
@@ -689,8 +826,11 @@ def rasterize_views(
                 bins.tile_end, budget=pairs_budget,
                 compact_budget=compact_budget,
                 gauss_multiplicity=(
-                    bins.gauss_idx.shape[0] // geom_all[vi].shape[0]
+                    0 if bins.table_idx is not None
+                    else bins.gauss_idx.shape[0] // geom_all[vi].shape[0]
                 ),
+                table_idx=bins.table_idx, heavy_list=bins.heavy_list,
+                tier_split=tier_split,
             )
             + (bins.num_culled_pairs,)
         )

@@ -43,6 +43,8 @@ def render(
     with_objects: bool = True,
     rect_candidates: int = 0,
     compact_budget: int = 0,
+    tier_split: int = 0,
+    heavy_budget: int = 0,
 ) -> dict:
     """Render one camera view. Returns the reference's output schema
     (`render`, `render_object`, `radii`, `visibility_filter`) plus
@@ -64,6 +66,8 @@ def render(
         with_objects=with_objects,
         rect_candidates=rect_candidates,
         compact_budget=compact_budget,
+        tier_split=tier_split,
+        heavy_budget=heavy_budget,
     )
     out["radii"] = proj.radius
     out["visibility_filter"] = proj.radius > 0

@@ -295,3 +295,85 @@ def test_pack_pairs_table_budget_overflow_counted(monkeypatch):
         budget=0, compact_budget=tight, gauss_multiplicity=c,
     )
     assert int(out[4]) == total_valid - tight
+
+
+def random_problem_tiered(seed, n, num_tiles, c1, cb, hb):
+    """Emulate the tiered bin_gaussians contract: every real gaussian id
+    appears exactly c1 times, every virtual id n+h exactly cb times; the
+    heavy list maps rank -> real id (ascending, padded with n)."""
+    rng = np.random.default_rng(seed)
+    geom = rng.normal(size=(n, GEOM_W)).astype(np.float32)
+    channels = rng.normal(size=(n, 8)).astype(np.float32)
+    n_heavy = rng.integers(1, hb)
+    heavy_list = np.concatenate([
+        np.sort(rng.choice(n, size=n_heavy, replace=False)),
+        np.full(hb - n_heavy, n),
+    ]).astype(np.int64)
+    tidA = rng.integers(0, num_tiles + 1, size=(n, c1))
+    tidB = np.where(
+        (heavy_list < n)[:, None],
+        rng.integers(0, num_tiles + 1, size=(hb, cb)),
+        num_tiles,  # padding rows: invalid sentinel tile
+    )
+    flat_t = np.concatenate([tidA.reshape(-1), tidB.reshape(-1)])
+    flat_g = np.concatenate([
+        np.repeat(np.arange(n), c1),
+        np.repeat(np.minimum(heavy_list, n - 1), cb),
+    ])
+    flat_tid = np.concatenate([
+        np.repeat(np.arange(n), c1),
+        np.repeat(n + np.arange(hb), cb),
+    ])
+    order = np.argsort(flat_t, kind="stable")
+    st = flat_t[order]
+    gauss_idx = flat_g[order]
+    table_idx = flat_tid[order]
+    tile_start = np.searchsorted(st, np.arange(num_tiles), side="left")
+    tile_end = np.searchsorted(st, np.arange(num_tiles), side="right")
+    return (geom, channels, gauss_idx, table_idx, heavy_list, tile_start,
+            tile_end)
+
+
+@pytest.mark.parametrize("seed,budget", [(41, 0), (42, 2048)])
+def test_pack_pairs_two_tier_table_backward_matches(seed, budget,
+                                                    monkeypatch):
+    """The TWO-TIER table backward (tiered bin) must produce identical
+    gradients to the exact slot-indexed scatter."""
+    import jax
+
+    from gsattack.ops import pallas_blend as pb
+
+    monkeypatch.setattr(pb, "_TABLE_MIN_PAIRS", 0)
+    c1, cb, hb = 3, 5, 16
+    geom, channels, gauss_idx, table_idx, heavy_list, ts, te = (
+        random_problem_tiered(seed, 40, 14, c1, cb, hb)
+    )
+    args = (
+        jnp.asarray(gauss_idx, jnp.int32),
+        jnp.asarray(ts, jnp.int32),
+        jnp.asarray(te, jnp.int32),
+    )
+    cbud = int(gauss_idx.shape[0]) + 256
+
+    def loss(g, ch, tiered):
+        kw = dict(budget=budget, compact_budget=cbud)
+        if tiered:
+            kw.update(
+                table_idx=jnp.asarray(table_idx, jnp.int32),
+                heavy_list=jnp.asarray(heavy_list, jnp.int32),
+                tier_split=c1,
+            )
+        packed = pack_pairs(jnp.asarray(g), jnp.asarray(ch), *args, **kw)[0]
+        w = jnp.cos(jnp.arange(packed.size, dtype=jnp.float32)).reshape(
+            packed.shape)
+        return jnp.sum(packed * w)
+
+    f0 = loss(geom, channels, False)
+    f1 = loss(geom, channels, True)
+    np.testing.assert_allclose(float(f0), float(f1), rtol=1e-6)
+    g0 = jax.grad(loss, argnums=(0, 1))(geom, channels, False)
+    g1 = jax.grad(loss, argnums=(0, 1))(geom, channels, True)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

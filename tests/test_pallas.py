@@ -181,3 +181,97 @@ def test_batched_views_blend_matches_per_view():
         r, q = np.asarray(gx[k]), np.asarray(gb[k])
         s = max(np.abs(r).max(), 1e-9)
         np.testing.assert_allclose(q, r, atol=5e-5 * s, err_msg=k)
+
+
+def _tier_pressure_scene():
+    """512 moderate diagonal-anisotropic splats: tilted ellipses make the
+    rect AABB much larger than the exact-ellipse survivor set (rect 36 vs
+    keep 14 at 128x128), and the survivor histogram is skewed enough that
+    auto_tier_caps turns the tiered bin on."""
+    sc = make_toy_scene(n=512, seed=11)
+    rng = np.random.default_rng(5)
+    base = rng.uniform(-3.4, -2.2, size=(512, 1)).astype(np.float32)
+    aniso = np.concatenate([base + 1.1, base - 0.8, base], axis=1)
+    return sc.replace(
+        log_scale=jnp.asarray(aniso),
+        quat=jnp.asarray(rng.normal(size=(512, 4)).astype(np.float32)),
+    )
+
+
+def test_tiered_bin_matches_untiered_all_backwards(monkeypatch):
+    """The tiered bin (tier_split/heavy_budget) must be output- AND
+    grad-exact vs the untiered path across all three backward regimes:
+    compact scatter, single-table, and the two-tier table (forced by
+    dropping the pair-count gate). The candidate SET is identical — only
+    the flat emission layout changes — so equality is bitwise-level, not
+    approximate."""
+    from gsattack.ops import pallas_blend as pb
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import (
+        auto_compact_budget, auto_pair_caps, auto_pairs_budget,
+        auto_tier_caps,
+    )
+
+    sc = _tier_pressure_scene()
+    wh = 128
+    cam = make_toy_camera(width=wh, height=wh)
+    bg = jnp.zeros(3)
+    proj0 = project(sc, cam)
+    keep, rect = auto_pair_caps(proj0, wh, wh)
+    assert rect > keep, "toy scene must exercise row compaction"
+    ts, hb = auto_tier_caps(proj0, wh, wh, keep, rect, quantum=64)
+    assert ts > 0, "toy scene must make tiering profitable"
+    pbud = auto_pairs_budget(proj0, wh, wh, keep, rect_candidates=rect)
+    cbud = auto_compact_budget(proj0, wh, wh, keep, rect_candidates=rect)
+
+    def loss(params, tier, gate):
+        monkeypatch.setattr(pb, "_TABLE_MIN_PAIRS", gate)
+        out = render(
+            sc.with_params(params), cam, bg, backend="pallas",
+            interpret=True, pairs_per_gaussian=keep, rect_candidates=rect,
+            pairs_budget=pbud, compact_budget=cbud,
+            tier_split=tier[0], heavy_budget=tier[1], max_chunks=16,
+        )
+        return (
+            jnp.mean(out["render"] ** 2)
+            + 0.1 * jnp.mean(out["render_object"] ** 2)
+        ), out["render"]
+
+    p = sc.params()
+    grad = jax.grad(loss, has_aux=True)
+    (g0, img0) = grad(p, (0, 0), 10**9)        # untiered, scatter bwd
+    for tier, gate in [((ts, hb), 10**9),      # tiered, scatter bwd
+                       ((ts, hb), 1),          # tiered, two-tier table bwd
+                       ((0, 0), 1)]:           # untiered, single table bwd
+        g1, img1 = grad(p, tier, gate)
+        np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
+        for k in g0:
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g0[k]), rtol=0, atol=0,
+                err_msg=f"{k} tier={tier} gate={gate}",
+            )
+
+
+def test_tiered_bin_heavy_overflow_counted():
+    """Heavy gaussians beyond heavy_budget lose exactly their overflow
+    columns — and every lost pair lands in num_culled_pairs."""
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import auto_pair_caps, bin_gaussians
+
+    sc = _tier_pressure_scene()
+    wh = 128
+    cam = make_toy_camera(width=wh, height=wh)
+    proj0 = project(sc, cam)
+    keep, rect = auto_pair_caps(proj0, wh, wh)
+    kw = dict(conic=proj0.conic, opacity=proj0.opacity,
+              rect_candidates=rect)
+    b0 = bin_gaussians(proj0.mean2d, proj0.depth, proj0.radius_tight,
+                       wh, wh, keep, **kw)
+    v0 = int(jnp.sum(b0.tile_end - b0.tile_start))
+    c0 = int(b0.num_culled_pairs)
+    bt = bin_gaussians(proj0.mean2d, proj0.depth, proj0.radius_tight,
+                       wh, wh, keep, tier_split=2, heavy_budget=8, **kw)
+    vt = int(jnp.sum(bt.tile_end - bt.tile_start))
+    ct = int(bt.num_culled_pairs)
+    assert vt < v0, "tiny heavy budget must actually drop pairs"
+    assert ct - c0 == v0 - vt, "every dropped pair must be counted"
