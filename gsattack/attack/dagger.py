@@ -148,6 +148,8 @@ def render_views(
                 interpret=jax.default_backend() == "cpu",
                 rect_candidates=rect_candidates,
                 compact_budget=compact_budget,
+                tier_split=tier_split,
+                heavy_budget=heavy_budget,
             )
         # A view batch off the views axis cannot take the shard_map
         # path, and a GSPMD-partitioned pallas custom call is unsupported

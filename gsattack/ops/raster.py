@@ -747,7 +747,7 @@ def rasterize(
     static_argnames=(
         "width", "height", "pairs_per_gaussian", "chunk", "max_chunks",
         "backend", "interpret", "pairs_budget", "with_objects",
-        "rect_candidates", "compact_budget",
+        "rect_candidates", "compact_budget", "tier_split", "heavy_budget",
     ),
 )
 def rasterize_views(

@@ -113,6 +113,10 @@ def render_views_sharded(
     rect_candidates: int = 0,
     compact_budget: int = 0,
     band_tiles: tuple[int, ...] | None = None,
+    tier_split: int = 0,
+    heavy_budget: int = 0,  # full-view-measured caps are safe upper
+    # bounds per band: a band sees a subset of each gaussian's surviving
+    # tiles, so per-band survivor counts never exceed the full view's
 ) -> jnp.ndarray:
     """Sharded multi-view render -> (V, H, W, 3), differentiable w.r.t.
     the (splats-sharded) scene. `interpret=True` runs the kernels in
@@ -202,6 +206,8 @@ def render_views_sharded(
             pairs_budget=pairs_budget,
             rect_candidates=rect_candidates,
             compact_budget=compact_budget,
+            tier_split=tier_split,
+            heavy_budget=heavy_budget,
         )
         return out["render"]
 

@@ -423,3 +423,39 @@ def test_initialize_distributed_validation():
     info = initialize_distributed()
     assert info["num_processes"] == 1
     assert info["devices"] == 8  # the virtual CPU mesh
+
+
+def test_sharded_pallas_render_tiered_matches_unsharded():
+    """The tiered bin under the shard_map composition: full-view-measured
+    tier caps are safe per band, and the banded render must still match
+    the unsharded reference."""
+    from gsattack.core.camera import stack_cameras
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import auto_pair_caps, auto_tier_caps
+    from gsattack.parallel.pallas_shard import render_views_sharded
+    from gsattack.parallel.shardings import shard_camera_batch
+    from gsattack.render import render
+    from tests.test_pallas import _tier_pressure_scene
+
+    sc = _tier_pressure_scene()
+    views = _views(2, w=128, h=128)  # tiles_y=8: banded path + tier caps
+    cams = stack_cameras(views)
+    mesh = make_mesh((2, 4))
+    bg = jnp.array([0.2, 0.4, 0.6])
+    w, h = views[0].width, views[0].height
+    proj0 = project(sc, views[0])
+    keep, rect = auto_pair_caps(proj0, w, h)
+    assert rect > keep
+    ts, hb = auto_tier_caps(proj0, w, h, keep, rect, quantum=64)
+    assert ts > 0
+    out = render_views_sharded(
+        shard_scene(sc, mesh), shard_camera_batch(cams, mesh), bg, mesh,
+        pairs_per_gaussian=keep, rect_candidates=rect,
+        max_chunks=16, interpret=True, tier_split=ts, heavy_budget=hb,
+    )
+    for i, cam in enumerate(views):
+        ref = render(sc, cam, bg, pairs_per_gaussian=keep,
+                     rect_candidates=rect, max_chunks=16)["render"]
+        np.testing.assert_allclose(
+            np.asarray(out[i]), np.asarray(ref), atol=1e-5
+        )
