@@ -166,7 +166,7 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
 
 def bench_train(scene, cam, iters: int, pairs: int, max_chunks: int,
                 backend: str, pairs_budget: int, rect: int,
-                compact_budget: int):
+                compact_budget: int, tier=(0, 0)):
     """3DGS training-step throughput (the CLOAK retraining workload,
     BASELINE config #5's core loop): full render -> dssim+l1 -> grads ->
     per-group Adam -> densify stats, one jitted step per iteration.
@@ -188,6 +188,8 @@ def bench_train(scene, cam, iters: int, pairs: int, max_chunks: int,
         pairs_budget=pairs_budget,
         rect_candidates=rect,
         compact_budget=compact_budget,
+        tier_split=tier[0],
+        heavy_budget=tier[1],
     )
     trainer = Trainer(scene, cfg)
     # GT: the scene rendered with a nudged opacity — a realistic non-zero
@@ -500,7 +502,7 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
               backend: str = "xla", batch: int = 2, pairs_budget: int = 0,
               use_mesh: bool = False, rect: int = 0, detector: str = "toy",
-              det_weights: str = "", compact_budget: int = 0):
+              det_weights: str = "", compact_budget: int = 0, tier=(0, 0)):
     """End-to-end DAGGER PGD iterations/s: batched multi-view render ->
     detector loss -> grads -> color-l2 step (the BASELINE.md attack-speed
     metric). `detector` picks the frozen scoring head: the default toy
@@ -576,11 +578,13 @@ def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
                 max_chunks=max_chunks, pairs_budget=pairs_budget,
                 interpret=jax.default_backend() == "cpu",
                 compact_budget=compact_budget,
+                tier_split=tier[0], heavy_budget=tier[1],
             )
         else:
             imgs = render_views(sc, cams, bg, pairs, max_chunks, backend,
                                 pairs_budget, rect,
-                                compact_budget=compact_budget)
+                                compact_budget=compact_budget,
+                                tier_split=tier[0], heavy_budget=tier[1])
         return det.loss(imgs, 2, bboxes)
 
     @jax.jit
@@ -782,7 +786,7 @@ def main():
     if args.mode == "train":
         ips = bench_train(
             scene, cam, args.iters, args.pairs, args.max_chunks,
-            args.backend, budget, args.rect, compact,
+            args.backend, budget, args.rect, compact, tier,
         )
         print(json.dumps({
             "metric": "train_iters_per_s",
@@ -795,7 +799,7 @@ def main():
         ips = bench_pgd(
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
             args.backend, args.views, budget, args.mesh, args.rect,
-            args.detector, args.det_weights, compact,
+            args.detector, args.det_weights, compact, tier,
         )
         print(
             json.dumps(

@@ -50,6 +50,10 @@ class RenderEvalConfig:
     rect_candidates: int = -1
     pairs_budget: int = -1
     max_chunks: int = 16
+    # Tiered bin (large scenes): shrinks the per-view depth sort on the
+    # forward-only sweep. -1 = measured; 0 = off.
+    tier_split: int = -1
+    heavy_budget: int = -1
 
 
 def _resolve_render_caps(
@@ -68,11 +72,18 @@ def _resolve_render_caps(
         backend = "xla" if jax.default_backend() == "cpu" else "pallas"
     pairs, rect = cfg.pairs_per_gaussian, cfg.rect_candidates
     budget = cfg.pairs_budget
-    if pairs >= 0 and rect >= 0 and (budget >= 0 or backend != "pallas"):
-        return dataclasses.replace(cfg, backend=backend)
+    tier = (cfg.tier_split, cfg.heavy_budget)
+    if pairs >= 0 and rect >= 0 and (
+        (budget >= 0 and tier[0] >= 0) or backend != "pallas"
+    ):
+        if backend != "pallas":
+            tier = (max(tier[0], 0), max(tier[1], 0))
+        return dataclasses.replace(
+            cfg, backend=backend, tier_split=tier[0], heavy_budget=tier[1],
+        )
 
     from ..ops.project import project
-    from ..ops.raster import auto_pair_caps, auto_pairs_budget
+    from ..ops.raster import auto_pair_caps, auto_pairs_budget, auto_tier_caps
 
     if len(cameras) > 8:
         idx = np.linspace(0, len(cameras) - 1, 8).astype(int)
@@ -106,9 +117,21 @@ def _resolve_render_caps(
         log.info("[render-eval] auto pairs_budget=%d", budget)
     elif budget < 0:
         budget = 0
+    if tier[0] < 0 and backend == "pallas" and rect > pairs:
+        tcaps = [
+            auto_tier_caps(p, e.width, e.height, pairs, rect)
+            for p, e in projs
+        ]
+        ts = max(t for t, _ in tcaps)
+        tier = (ts, max(h for _, h in tcaps) if ts else 0)
+        if ts:
+            log.info("[render-eval] auto tier=(%d, %d)", *tier)
+    elif tier[0] < 0:
+        tier = (0, 0)
     return dataclasses.replace(
         cfg, backend=backend, pairs_per_gaussian=pairs,
         rect_candidates=rect, pairs_budget=budget,
+        tier_split=tier[0], heavy_budget=tier[1],
     )
 
 
@@ -157,6 +180,8 @@ def run_render_eval(
                 backend=cfg.backend,
                 pairs_budget=cfg.pairs_budget,
                 rect_candidates=cfg.rect_candidates,
+                tier_split=max(cfg.tier_split, 0),
+                heavy_budget=max(cfg.heavy_budget, 0),
                 with_objects=False,
                 interpret=interpret,
             )

@@ -67,6 +67,11 @@ class TrainConfig:
     # grows the splat set, so leave headroom when setting these.
     rect_candidates: int = 0
     compact_budget: int = 0
+    # Tiered-bin caps for the post-densification (large-scene) regime
+    # (ops/raster.bin_gaussians tier_split/heavy_budget; size with
+    # auto_tier_caps + headroom — heavy overflow is counted, not silent).
+    tier_split: int = 0
+    heavy_budget: int = 0
     spatial_lr_scale: float = 1.0
     # Gaussian-Grouping 3D consistency regularizer (reference knobs
     # `configs/config.yaml:37-41`; loss in train/reg3d.py). Enabled when
@@ -196,6 +201,8 @@ class Trainer:
                 pairs_budget=cfg.pairs_budget,
                 rect_candidates=cfg.rect_candidates,
                 compact_budget=cfg.compact_budget,
+                tier_split=cfg.tier_split,
+                heavy_budget=cfg.heavy_budget,
             )
             loss = dssim_l1_loss(out["render"], gt, cfg.lambda_dssim)
             if cfg.use_reg3d and self.classifier is not None:
