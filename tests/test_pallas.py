@@ -203,8 +203,9 @@ def test_tiered_bin_matches_untiered_all_backwards(monkeypatch):
     grad-exact vs the untiered path across all three backward regimes:
     compact scatter, single-table, and the two-tier table (forced by
     dropping the pair-count gate). The candidate SET is identical — only
-    the flat emission layout changes — so equality is bitwise-level, not
-    approximate."""
+    the flat emission layout changes — so the IMAGES are bitwise-equal;
+    the gradients differ only by f32 accumulation order (scatter-add vs
+    windowed reduce), so they get a tight tolerance instead."""
     from gsattack.ops import pallas_blend as pb
     from gsattack.ops.project import project
     from gsattack.ops.raster import (
@@ -243,11 +244,18 @@ def test_tiered_bin_matches_untiered_all_backwards(monkeypatch):
     for tier, gate in [((ts, hb), 10**9),      # tiered, scatter bwd
                        ((ts, hb), 1),          # tiered, two-tier table bwd
                        ((0, 0), 1)]:           # untiered, single table bwd
+        # _TABLE_MIN_PAIRS is read at TRACE time but rasterize's jit cache
+        # keys only on static args — without a cache flush the gate=1 legs
+        # would silently reuse the gate=10**9 executables and never run
+        # the table backwards (advisor r4, medium).
+        jax.clear_caches()
         g1, img1 = grad(p, tier, gate)
         np.testing.assert_array_equal(np.asarray(img1), np.asarray(img0))
         for k in g0:
+            scale = float(np.abs(np.asarray(g0[k])).max()) or 1.0
             np.testing.assert_allclose(
-                np.asarray(g1[k]), np.asarray(g0[k]), rtol=0, atol=0,
+                np.asarray(g1[k]), np.asarray(g0[k]),
+                rtol=1e-4, atol=1e-5 * scale,
                 err_msg=f"{k} tier={tier} gate={gate}",
             )
 
