@@ -166,17 +166,31 @@ def bench_forward(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
 
 def bench_train(scene, cam, iters: int, pairs: int, max_chunks: int,
                 backend: str, pairs_budget: int, rect: int,
-                compact_budget: int, tier=(0, 0)):
+                compact_budget: int, tier=(0, 0), use_mesh: bool = False):
     """3DGS training-step throughput (the CLOAK retraining workload,
     BASELINE config #5's core loop): full render -> dssim+l1 -> grads ->
     per-group Adam -> densify stats, one jitted step per iteration.
     Densification is scheduled outside the timed window so one graph is
-    measured (the trainer re-jits on capacity growth anyway)."""
+    measured (the trainer re-jits on capacity growth anyway).
+
+    `use_mesh=True` shards the whole TrainState over a (1, n_devices)
+    splats mesh (GSPMD partitions every step) — the training-scaling
+    harness (BASELINE: >=80% efficiency 1 chip -> multi-chip). On one
+    real chip this measures sharding overhead ~ 1x; it becomes a real
+    scaling number the day a multi-chip slice is attached, and on the
+    virtual CPU mesh it exercises the harness itself (VERDICT r4 #7)."""
     import jax
     import jax.numpy as jnp
 
     from gsattack.render import render
     from gsattack.train.trainer import TrainConfig, Trainer
+
+    mesh = None
+    if use_mesh:
+        from gsattack.parallel import make_mesh
+
+        mesh = make_mesh((1, len(jax.devices())))
+        log(f"train mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     cfg = TrainConfig(
         iterations=iters,
@@ -191,7 +205,7 @@ def bench_train(scene, cam, iters: int, pairs: int, max_chunks: int,
         tier_split=tier[0],
         heavy_budget=tier[1],
     )
-    trainer = Trainer(scene, cfg)
+    trainer = Trainer(scene, cfg, mesh=mesh)
     # GT: the scene rendered with a nudged opacity — a realistic non-zero
     # loss surface instead of a black target.
     gt = render(
@@ -652,6 +666,10 @@ def main():
     ap.add_argument("--parity", dest="parity", action="store_true",
                     default=None, help="gate compiled pallas vs XLA parity")
     ap.add_argument("--no-parity", dest="parity", action="store_false")
+    ap.add_argument("--no-scale-probe", dest="scale_probe",
+                    action="store_false", default=True,
+                    help="skip the 500k@1600x1200 scale probe + PGD line "
+                         "appended to the default raster record")
     args = ap.parse_args()
 
     # Fail fast when the axon relay is down: jax.devices() would HANG
@@ -788,6 +806,27 @@ def main():
             scene, cam, args.iters, args.pairs, args.max_chunks,
             args.backend, budget, args.rect, compact, tier,
         )
+        if args.mesh:
+            # Training-scaling harness (VERDICT r4 #7): single device vs
+            # the full splats mesh, efficiency = speedup / n_devices.
+            n_dev = len(jax.devices())
+            ips_n = bench_train(
+                scene, cam, args.iters, args.pairs, args.max_chunks,
+                args.backend, budget, args.rect, compact, tier,
+                use_mesh=True,
+            )
+            eff = ips_n / ips / n_dev
+            log(f"train scale: single {ips:.3f} it/s, {n_dev}-device mesh "
+                f"{ips_n:.3f} it/s, efficiency {eff:.3f}")
+            print(json.dumps({
+                "metric": "train_scaling_efficiency",
+                "value": round(eff, 4),
+                "unit": f"x{n_dev}dev",
+                "vs_baseline": 1.0,
+                "single_it_per_s": round(ips, 3),
+                "mesh_it_per_s": round(ips_n, 3),
+            }))
+            return
         print(json.dumps({
             "metric": "train_iters_per_s",
             "value": round(ips, 3),
@@ -906,7 +945,72 @@ def main():
         )
         record["parity_max_rel_err"] = float(f"{max_err:.3e}")
         record["parity_ok"] = bool(ok)
+    # Driver-certify the large-scene + attack story (VERDICT r4 #4): the
+    # default bench record carries the 500k@1600x1200 scale probe (RGB +
+    # the reference's always-19-channel shape) and a PGD line, so
+    # BENCH_r*.json holds driver-captured numbers instead of
+    # builder-authored docs. Failures degrade to an error field — a scale
+    # regression must not take down the headline metric.
+    if (
+        args.mode == "raster" and not args.forward_only and not args.objects
+        and args.backend == "pallas" and args.scale_probe
+    ):
+        try:
+            record.update(scale_probe_fields(args))
+        except Exception as e:  # noqa: BLE001 — recorded, not fatal
+            log(f"scale probe failed: {type(e).__name__}: {e}")
+            record["scale_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            ips = bench_pgd(
+                scene, cam, max(args.iters // 2, 5), args.pairs, args.chunk,
+                args.max_chunks, "pallas", 4, budget, False, args.rect,
+                "toy", "", compact, tier,
+            )
+            record["pgd_iters_per_s"] = round(ips, 3)
+        except Exception as e:  # noqa: BLE001
+            log(f"pgd probe failed: {type(e).__name__}: {e}")
+            record["pgd_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(record))
+
+
+def scale_probe_fields(args) -> dict:
+    """The post-densification product regime (BASELINE north star
+    nyc_block): 500k splats @ 1600x1200, measured caps, RGB and
+    with-objects fwd+bwd Mpix/s."""
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import (
+        auto_compact_budget, auto_pair_caps, auto_pairs_budget,
+        auto_tier_caps,
+    )
+
+    n, w, h = 500_000, 1600, 1200
+    scene, cam = build_problem(n, w, h, args.sh_degree)
+    proj0 = project(scene, cam)
+    pairs, rect = auto_pair_caps(proj0, w, h)
+    if rect <= pairs:
+        rect = 0
+    budget = auto_pairs_budget(proj0, w, h, pairs, margin=1.0,
+                               rect_candidates=rect)
+    compact = auto_compact_budget(proj0, w, h, pairs, margin=1.0,
+                                  rect_candidates=rect)
+    tier = (
+        auto_tier_caps(proj0, w, h, pairs, rect) if rect > pairs else (0, 0)
+    )
+    log(f"scale probe: n={n} {w}x{h} pairs={pairs} rect={rect} "
+        f"budget={budget} compact={compact} tier={tier}")
+    iters = max(args.iters // 2, 5)
+    mpix, _ = bench_fwd_bwd(
+        scene, cam, iters, pairs, args.chunk, args.max_chunks, "pallas",
+        budget, False, rect, compact, tier,
+    )
+    mpix_obj, _ = bench_fwd_bwd(
+        scene, cam, iters, pairs, args.chunk, args.max_chunks, "pallas",
+        budget, True, rect, compact, tier,
+    )
+    return {
+        "scale_mpix_per_s": round(mpix, 3),
+        "scale_obj_mpix_per_s": round(mpix_obj, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -166,8 +166,65 @@ def sweep():
               f"({total * 1e6 / M:.2f} ns/row)", flush=True)
 
 
+
+
+def sweep_w():
+    """Gather cost vs ROW WIDTH and source layout at the 500k-scene shape:
+    the objects-mode profile shows the W=32 candidate gather at ~29 ns/row
+    vs ~6 at W=16 — is it width itself, the strided (transposed) source,
+    or fusion context?"""
+    import fcntl
+    lockf = open("/tmp/gsattack_tpu.lock", "w")
+    fcntl.flock(lockf, fcntl.LOCK_EX)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gsattack_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    M, S, iters = 2_217_984, 1_787_904, 4
+    idx = jnp.asarray(rng.integers(0, S, size=M).astype(np.int32))
+
+    def timed(tag, fn, *arrs):
+        salt = jnp.int32(time.time_ns() % 977)
+        idx_seq = [jax.block_until_ready((idx + salt + i) % S)
+                   for i in range(iters + 1)]
+        out = jax.block_until_ready(fn(*arrs, idx_seq[0]))
+        tdir = f"/tmp/jax_trace_sw_{tag}"
+        with jax.profiler.trace(tdir):
+            for i in range(iters):
+                out = fn(*arrs, idx_seq[i + 1])
+            jax.block_until_ready(out)
+        ops = device_ms(tdir, iters)
+        total = sum(v for n, v in ops.items() if not n.startswith("jit_"))
+        print(f"{tag:24s} {total:8.3f} ms ({total * 1e6 / M:.2f} ns/row)",
+              flush=True)
+
+    for W in (8, 16, 24, 32, 48):
+        src = jnp.asarray(rng.normal(size=(S, W)).astype(np.float32))
+        srcT = jax.block_until_ready(jnp.asarray(np.asarray(src).T.copy()))
+        timed(f"direct_w{W}", jax.jit(lambda s, i: s[i]), src)
+        # transposed source: the table backward gathers rows of g.T where
+        # g is the field-major (W, P_pad) kernel output
+        timed(f"fromT_w{W}", jax.jit(lambda s, i: s.T[i]), srcT)
+        if W >= 16:
+            # split into two half-width gathers (fused back by concat)
+            h = W // 2
+            timed(
+                f"split2_w{W}",
+                jax.jit(lambda a, b, i: jnp.concatenate(
+                    [a[i], b[i]], axis=1)),
+                jax.block_until_ready(src[:, :h].copy()),
+                jax.block_until_ready(src[:, h:].copy()),
+            )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "sweep":
         sweep()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sweep_w":
+        sweep_w()
     else:
         main()

@@ -368,3 +368,23 @@ def test_cloak_poisoning_changes_images_and_trains():
     )
     assert len(poisoned) == 1
     assert np.isfinite(np.asarray(scene.xyz)).all()
+
+
+def test_bench_train_mesh_harness():
+    """The training-scaling harness (`bench.py --mode train --mesh`) runs
+    on the virtual CPU mesh: single-device and full-mesh train-step
+    throughput both measure, through the same bench_train entry the
+    driver uses (VERDICT r4 #7)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    scene, cam = bench.build_problem(256, 32, 32, 1)
+    ips1 = bench.bench_train(
+        scene, cam, 3, 16, 4, "xla", 0, 0, 0, use_mesh=False
+    )
+    ips_n = bench.bench_train(
+        scene, cam, 3, 16, 4, "xla", 0, 0, 0, use_mesh=True
+    )
+    assert ips1 > 0 and ips_n > 0
