@@ -40,6 +40,14 @@ def main():
                                margin=1.0, rect_candidates=rect)
     compact = auto_compact_budget(proj, cam.width, cam.height, pairs,
                                   margin=1.25, rect_candidates=rect)
+    from gsattack.ops.raster import auto_tier_caps
+
+    tier = (
+        auto_tier_caps(proj, cam.width, cam.height, pairs, rect)
+        if rect > pairs else (0, 0)
+    )
+    print(f"caps: pairs={pairs} rect={rect} budget={budget} "
+          f"compact={compact} tier={tier}", file=sys.stderr)
     bg = jnp.zeros(3)
     target = jnp.zeros((args.height, args.width, 3))
 
@@ -47,7 +55,8 @@ def main():
         out = render(scene.with_params(p), cam, bg, pairs_per_gaussian=pairs,
                      chunk=128, max_chunks=16, backend="pallas",
                      pairs_budget=budget, with_objects=args.objects,
-                     rect_candidates=rect, compact_budget=compact)
+                     rect_candidates=rect, compact_budget=compact,
+                     tier_split=tier[0], heavy_budget=tier[1])
         return jnp.mean((out["render"] - target) ** 2)
 
     vg = jax.jit(lambda p, eps: jax.value_and_grad(loss_fn)(
