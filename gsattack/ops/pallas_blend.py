@@ -519,6 +519,57 @@ def _blend_bwd(tiles_x, tiles_y, max_chunks, interpret, early_exit, res, g_out):
 pallas_blend_views.defvjp(_blend_fwd, _blend_bwd)
 
 
+# XLA TPU row gathers run ~5-6 ns/row at <=16 f32 columns but fall off a
+# width cliff beyond: 30.4 ns/row at 24 columns, 37.1 at 32, 51.9 at 48
+# (measured r5, scripts/micro_gather.py sweep_w — source layout and
+# source size are irrelevant above ~19MB). The 19-channel unified row is
+# 32 wide, so every wide gather here is split into <=16-column pieces.
+# The pieces must stay UNFUSED — a concat fused over the gathers
+# re-serializes to ~29 ns/row (sweep_w split2) — hence the barriers.
+# Env knob for A/B on hardware; 0 disables splitting.
+_GATHER_PIECE = int(os.environ.get("GSATTACK_GATHER_PIECE", 16))
+
+
+def _col_pieces(w: int):
+    p = _GATHER_PIECE
+    if p <= 0 or w <= p:
+        return [(0, w)]
+    return [(a, min(a + p, w)) for a in range(0, w, p)]
+
+
+def _gather_rows_T(unified, idx, valid):
+    """rows = unified[idx] -> field-major transpose with invalid lanes
+    zeroed, gathered in width pieces (see _GATHER_PIECE note). The
+    transpose rides INSIDE each piece's barrier so XLA keeps fusing the
+    gather with its transposed-output layout (it does — the in-context
+    fwd gather emits {0,1}-layout directly), and the field-major piece
+    concat along axis 0 is a contiguous block copy."""
+    pieces = _col_pieces(unified.shape[1])
+    if len(pieces) == 1:
+        return jnp.where(valid[None, :], unified[idx].T, 0.0)
+    parts = [
+        jax.lax.optimization_barrier(unified[:, a:b][idx].T)
+        for a, b in pieces
+    ]
+    return jnp.where(valid[None, :], jnp.concatenate(parts, axis=0), 0.0)
+
+
+def _gather_sum_rows(gT, idx, c):
+    """Table-backward core: gT[max(idx, 0)] masked to zero where idx < 0,
+    then a non-overlapping (c, 1) window sum — in width pieces (see
+    _GATHER_PIECE note; the mask and window sum fuse per piece)."""
+    safe = jnp.maximum(idx, 0)
+    ok = (idx >= 0)[:, None]
+    outs = []
+    for a, b in _col_pieces(gT.shape[1]):
+        rows = jax.lax.optimization_barrier(gT[:, a:b][safe])
+        rows = jnp.where(ok, rows, 0.0)
+        outs.append(jax.lax.reduce_window(
+            rows, 0.0, jax.lax.add, (c, 1), (c, 1), "VALID"
+        ))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 @jax.custom_vjp
 def _gather_pack_T(unified, src_gauss):
     """The differentiable core of pack_pairs: row-gather the unified
@@ -539,8 +590,7 @@ def _gather_pack_T(unified, src_gauss):
     HLO-measured) where the (W, P_pad) mask is a compact fused pass."""
     n = unified.shape[0]
     valid = src_gauss < n
-    rows = unified[jnp.where(valid, src_gauss, 0)]
-    return jnp.where(valid[None, :], rows.T, 0.0)
+    return _gather_rows_T(unified, jnp.where(valid, src_gauss, 0), valid)
 
 
 def _gather_pack_T_fwd(unified, src_gauss):
@@ -578,8 +628,7 @@ def _gather_pack_T_compact(unified, src_gauss, pair_slot, pair_gauss):
     `compact_budget` rows onto `pair_gauss`."""
     n = unified.shape[0]
     valid = src_gauss < n
-    rows = unified[jnp.where(valid, src_gauss, 0)]
-    return jnp.where(valid[None, :], rows.T, 0.0)
+    return _gather_rows_T(unified, jnp.where(valid, src_gauss, 0), valid)
 
 
 def _gather_pack_T_compact_fwd(unified, src_gauss, pair_slot, pair_gauss):
@@ -592,7 +641,20 @@ def _gather_pack_T_compact_fwd(unified, src_gauss, pair_slot, pair_gauss):
 def _gather_pack_T_compact_bwd(res, g):
     pair_slot, pair_gauss, n, src_shape = res
     gT = jax.lax.optimization_barrier(g.T)
-    upd = gT[pair_slot]  # (B, W): only in-budget pairs' cotangents
+    # (B, W): only in-budget pairs' cotangents; width-split past the
+    # gather width cliff (W=32 in objects mode), re-joined before the
+    # single scatter (two scatters would double the serial per-row cost).
+    pieces = _col_pieces(gT.shape[1])
+    if len(pieces) == 1:
+        upd = gT[pair_slot]
+    else:
+        upd = jnp.concatenate(
+            [
+                jax.lax.optimization_barrier(gT[:, a:b][pair_slot])
+                for a, b in pieces
+            ],
+            axis=1,
+        )
     # (A row-major layout constraint on `upd` changes nothing: the 77
     # ns/row scatter at 1.5M pairs is HBM-latency-bound on the
     # destination — 33 MB of rows no longer fit VMEM — not a strided-
@@ -668,8 +730,7 @@ def _gather_pack_T_table(unified, src_gauss, slot_table):
     replaces is ~10x slower at multi-million-pair scenes."""
     n = unified.shape[0]
     valid = src_gauss < n
-    rows = unified[jnp.where(valid, src_gauss, 0)]
-    return jnp.where(valid[None, :], rows.T, 0.0)
+    return _gather_rows_T(unified, jnp.where(valid, src_gauss, 0), valid)
 
 
 def _gather_pack_T_table_fwd(unified, src_gauss, slot_table):
@@ -684,14 +745,12 @@ def _gather_pack_T_table_bwd(res, g):
     gT = g.T  # (P_pad, W)
     c = slot_table.shape[1]
     idx = slot_table.reshape(-1)
-    rows = gT[jnp.maximum(idx, 0)]  # (N*c, W) FLAT: the 3-D (N, c, W)
-    # gather form left ~25 ms of relayout (a (6,16)->(8,128) tile-padded
-    # intermediate + a 16-step while loop) at 7M candidates; the flat
-    # form plus a non-overlapping reduce_window keeps one 2-D layout.
-    rows = jnp.where((idx >= 0)[:, None], rows, 0.0)
-    dunified = jax.lax.reduce_window(
-        rows, 0.0, jax.lax.add, (c, 1), (c, 1), "VALID"
-    )
+    # FLAT (N*c, W) gather + non-overlapping reduce_window: the 3-D
+    # (N, c, W) gather form left ~25 ms of relayout (a (6,16)->(8,128)
+    # tile-padded intermediate + a 16-step while loop) at 7M candidates.
+    # Width-split per _GATHER_PIECE (the W=32 objects row is past the
+    # gather width cliff).
+    dunified = _gather_sum_rows(gT, idx, c)
     f0 = lambda s: np.zeros(s, jax.dtypes.float0)
     return dunified, f0(src_shape), f0(slot_table.shape)
 
@@ -713,8 +772,7 @@ def _gather_pack_T_table2(unified, src_gauss, table1, table2, heavy_list):
     at the 500k probe scene vs the single (N, c_max) table)."""
     n = unified.shape[0]
     valid = src_gauss < n
-    rows = unified[jnp.where(valid, src_gauss, 0)]
-    return jnp.where(valid[None, :], rows.T, 0.0)
+    return _gather_rows_T(unified, jnp.where(valid, src_gauss, 0), valid)
 
 
 def _gather_pack_T_table2_fwd(unified, src_gauss, table1, table2, heavy_list):
@@ -729,14 +787,9 @@ def _gather_pack_T_table2_bwd(res, g):
     gT = g.T  # (P_pad, W)
 
     def tier_sum(table):
-        c = table.shape[1]
-        idx = table.reshape(-1)
-        rows = gT[jnp.maximum(idx, 0)]  # flat (rows, W); see the single-
-        # table note on why NOT the 3-D (N, c, W) gather form
-        rows = jnp.where((idx >= 0)[:, None], rows, 0.0)
-        return jax.lax.reduce_window(
-            rows, 0.0, jax.lax.add, (c, 1), (c, 1), "VALID"
-        )
+        # flat gather + window sum, width-split (see the single-table
+        # backward for why NOT the 3-D (N, c, W) gather form)
+        return _gather_sum_rows(gT, table.reshape(-1), table.shape[1])
 
     d1 = tier_sum(table1)  # (N, W)
     d2 = tier_sum(table2)  # (H, W)
