@@ -526,12 +526,16 @@ pallas_blend_views.defvjp(_blend_fwd, _blend_bwd)
 # 32 wide, so every wide gather here is split into <=16-column pieces.
 # The pieces must stay UNFUSED — a concat fused over the gathers
 # re-serializes to ~29 ns/row (sweep_w split2) — hence the barriers.
-# Env knob for A/B on hardware; 0 disables splitting.
-_GATHER_PIECE = int(os.environ.get("GSATTACK_GATHER_PIECE", 16))
+# Env knobs for A/B on hardware; 0 disables splitting at that site. The
+# 500k objects profile (r5): splitting WINS in the backward table gathers
+# (tier-A 57.8 -> 44.4 ms, tier-B 17.2 -> 12.4) but LOSES in the forward
+# pack gather (17.6 -> 38.5 — its fused transposed-output form already
+# runs at 10.6 ns/row unsplit), so the sites split independently.
+_GATHER_PIECE_FWD = int(os.environ.get("GSATTACK_GATHER_PIECE_FWD", 0))
+_GATHER_PIECE_BWD = int(os.environ.get("GSATTACK_GATHER_PIECE_BWD", 16))
 
 
-def _col_pieces(w: int):
-    p = _GATHER_PIECE
+def _col_pieces(w: int, p: int):
     if p <= 0 or w <= p:
         return [(0, w)]
     return [(a, min(a + p, w)) for a in range(0, w, p)]
@@ -544,7 +548,7 @@ def _gather_rows_T(unified, idx, valid):
     gather with its transposed-output layout (it does — the in-context
     fwd gather emits {0,1}-layout directly), and the field-major piece
     concat along axis 0 is a contiguous block copy."""
-    pieces = _col_pieces(unified.shape[1])
+    pieces = _col_pieces(unified.shape[1], _GATHER_PIECE_FWD)
     if len(pieces) == 1:
         return jnp.where(valid[None, :], unified[idx].T, 0.0)
     parts = [
@@ -557,12 +561,22 @@ def _gather_rows_T(unified, idx, valid):
 def _gather_sum_rows(gT, idx, c):
     """Table-backward core: gT[max(idx, 0)] masked to zero where idx < 0,
     then a non-overlapping (c, 1) window sum — in width pieces (see
-    _GATHER_PIECE note; the mask and window sum fuse per piece)."""
+    _GATHER_PIECE note; the mask and window sum fuse per piece).
+
+    GSATTACK_GATHER_CHAIN=1 serializes the pieces through a zero-copy
+    barrier on the (small) index vector, so the pieces' big live ranges
+    do not overlap — probing whether the slow-twin effect (one piece at
+    the 6.4 ns/row floor, its sibling at 2-3x) is scoped-memory
+    pressure from adjacent scheduling."""
     safe = jnp.maximum(idx, 0)
     ok = (idx >= 0)[:, None]
+    chain = os.environ.get("GSATTACK_GATHER_CHAIN", "0") == "1"
     outs = []
-    for a, b in _col_pieces(gT.shape[1]):
-        rows = jax.lax.optimization_barrier(gT[:, a:b][safe])
+    for a, b in _col_pieces(gT.shape[1], _GATHER_PIECE_BWD):
+        s = safe
+        if chain and outs:
+            s, _ = jax.lax.optimization_barrier((safe, outs[-1]))
+        rows = jax.lax.optimization_barrier(gT[:, a:b][s])
         rows = jnp.where(ok, rows, 0.0)
         outs.append(jax.lax.reduce_window(
             rows, 0.0, jax.lax.add, (c, 1), (c, 1), "VALID"
@@ -644,7 +658,7 @@ def _gather_pack_T_compact_bwd(res, g):
     # (B, W): only in-budget pairs' cotangents; width-split past the
     # gather width cliff (W=32 in objects mode), re-joined before the
     # single scatter (two scatters would double the serial per-row cost).
-    pieces = _col_pieces(gT.shape[1])
+    pieces = _col_pieces(gT.shape[1], _GATHER_PIECE_BWD)
     if len(pieces) == 1:
         upd = gT[pair_slot]
     else:

@@ -221,10 +221,62 @@ def sweep_w():
             )
 
 
+
+
+def sweep_split():
+    """Why did the in-context width split leave the offset piece at ~15-19
+    ns/row? Compare source materializations for the hi 16 columns of a
+    W=32 gather: fused column slice of a row-major source, transposed
+    view of a field-major source, and a separately materialized compact
+    (S, 16) source."""
+    import fcntl
+    lockf = open("/tmp/gsattack_tpu.lock", "w")
+    fcntl.flock(lockf, fcntl.LOCK_EX)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gsattack_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    M, S, iters = 2_217_984, 1_787_904, 4
+    idx = jnp.asarray(rng.integers(0, S, size=M).astype(np.int32))
+    src = jnp.asarray(rng.normal(size=(S, 32)).astype(np.float32))
+    fm = jax.block_until_ready(jnp.asarray(np.asarray(src).T.copy()))
+    hi = jax.block_until_ready(jnp.asarray(np.asarray(src)[:, 16:].copy()))
+
+    def timed(tag, fn, *arrs):
+        salt = jnp.int32(time.time_ns() % 977)
+        idx_seq = [jax.block_until_ready((idx + salt + i) % S)
+                   for i in range(iters + 1)]
+        out = jax.block_until_ready(fn(*arrs, idx_seq[0]))
+        tdir = f"/tmp/jax_trace_sp_{tag}"
+        with jax.profiler.trace(tdir):
+            for i in range(iters):
+                out = fn(*arrs, idx_seq[i + 1])
+            jax.block_until_ready(out)
+        ops = device_ms(tdir, iters)
+        total = sum(v for n, v in ops.items() if not n.startswith("jit_"))
+        print(f"{tag:22s} {total:8.3f} ms ({total * 1e6 / M:.2f} ns/row)",
+              flush=True)
+
+    bar = jax.lax.optimization_barrier
+    timed("slice_lo", jax.jit(lambda s, i: s[:, 0:16][i]), src)
+    timed("slice_hi", jax.jit(lambda s, i: s[:, 16:32][i]), src)
+    timed("fmT_hi", jax.jit(lambda f, i: f[16:32].T[i]), fm)
+    timed("sep_hi", jax.jit(lambda b, i: b[i]), hi)
+    timed("slice_hi_T", jax.jit(lambda s, i: s[:, 16:32][i].T), src)
+    timed("sep_hi_T", jax.jit(lambda b, i: b[i].T), hi)
+    timed("fmT_hi_T", jax.jit(lambda f, i: f[16:32].T[i].T), fm)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "sweep":
         sweep()
     elif len(sys.argv) > 1 and sys.argv[1] == "sweep_w":
         sweep_w()
+    elif len(sys.argv) > 1 and sys.argv[1] == "sweep_split":
+        sweep_split()
     else:
         main()
