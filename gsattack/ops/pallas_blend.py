@@ -551,14 +551,19 @@ def _gather_rows_T(unified, idx, valid):
     pieces = _col_pieces(unified.shape[1], _GATHER_PIECE_FWD)
     if len(pieces) == 1:
         return jnp.where(valid[None, :], unified[idx].T, 0.0)
-    parts = [
-        jax.lax.optimization_barrier(unified[:, a:b][idx].T)
-        for a, b in pieces
-    ]
+    chain = os.environ.get("GSATTACK_GATHER_CHAIN", "1") == "1"
+    parts = []
+    for a, b in pieces:
+        i = idx
+        if chain and parts:
+            i, _ = jax.lax.optimization_barrier((idx, parts[-1]))
+        parts.append(
+            jax.lax.optimization_barrier(unified[:, a:b][i].T)
+        )
     return jnp.where(valid[None, :], jnp.concatenate(parts, axis=0), 0.0)
 
 
-def _gather_sum_rows(gT, idx, c):
+def _gather_sum_rows(gT, idx, c, after=None):
     """Table-backward core: gT[max(idx, 0)] masked to zero where idx < 0,
     then a non-overlapping (c, 1) window sum — in width pieces (see
     _GATHER_PIECE note; the mask and window sum fuse per piece).
@@ -570,12 +575,14 @@ def _gather_sum_rows(gT, idx, c):
     pressure from adjacent scheduling."""
     safe = jnp.maximum(idx, 0)
     ok = (idx >= 0)[:, None]
-    chain = os.environ.get("GSATTACK_GATHER_CHAIN", "0") == "1"
+    chain = os.environ.get("GSATTACK_GATHER_CHAIN", "1") == "1"
     outs = []
     for a, b in _col_pieces(gT.shape[1], _GATHER_PIECE_BWD):
         s = safe
-        if chain and outs:
-            s, _ = jax.lax.optimization_barrier((safe, outs[-1]))
+        if chain and (outs or after is not None):
+            s, _ = jax.lax.optimization_barrier(
+                (safe, outs[-1] if outs else after)
+            )
         rows = jax.lax.optimization_barrier(gT[:, a:b][s])
         rows = jnp.where(ok, rows, 0.0)
         outs.append(jax.lax.reduce_window(
@@ -800,13 +807,14 @@ def _gather_pack_T_table2_bwd(res, g):
     table1, table2, heavy_list, src_shape = res
     gT = g.T  # (P_pad, W)
 
-    def tier_sum(table):
-        # flat gather + window sum, width-split (see the single-table
-        # backward for why NOT the 3-D (N, c, W) gather form)
-        return _gather_sum_rows(gT, table.reshape(-1), table.shape[1])
-
-    d1 = tier_sum(table1)  # (N, W)
-    d2 = tier_sum(table2)  # (H, W)
+    # flat gather + window sum per tier, width-split (see the single-
+    # table backward for why NOT the 3-D (N, c, W) gather form); tier B
+    # chains after tier A so no two piece live-ranges overlap (the
+    # scoped-memory slow-twin effect, r5 dev notes).
+    d1 = _gather_sum_rows(gT, table1.reshape(-1), table1.shape[1])
+    d2 = _gather_sum_rows(
+        gT, table2.reshape(-1), table2.shape[1], after=d1
+    )
     # Merge the heavy overflow sums at their real rows; the N padding
     # entries of heavy_list are out of bounds and drop.
     dunified = d1.at[heavy_list].add(d2, mode="drop")
