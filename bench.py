@@ -516,7 +516,8 @@ def bench_stages(scene, cam, iters: int, pairs: int, max_chunks: int,
 def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
               backend: str = "xla", batch: int = 2, pairs_budget: int = 0,
               use_mesh: bool = False, rect: int = 0, detector: str = "toy",
-              det_weights: str = "", compact_budget: int = 0, tier=(0, 0)):
+              det_weights: str = "", compact_budget: int = 0, tier=(0, 0),
+              yaw_aug: bool = False):
     """End-to-end DAGGER PGD iterations/s: batched multi-view render ->
     detector loss -> grads -> color-l2 step (the BASELINE.md attack-speed
     metric). `detector` picks the frozen scoring head: the default toy
@@ -536,13 +537,28 @@ def bench_pgd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: int,
     if detector != "toy" and not det_weights:
         log(f"NOTE: {detector} runs on seeded random init (no --det-weights"
             " given) — timing is representative, loss values are not.")
-    cams = stack_cameras(
-        [
-            make_camera(np.eye(3), np.array([0.0, 0.0, 0.05 * i]), 1.0,
-                        cam.height / cam.width, cam.width, cam.height)
-            for i in range(batch)
-        ]
-    )
+    if yaw_aug:
+        # The reference's add_cams shape (`attack.py:404-415` via
+        # expand_viewpoints): base view + yaw(7 deg * i) augmentations,
+        # so the batch renders genuinely different geometry per view.
+        from gsattack.core.camera import CameraExtrinsics
+
+        base = CameraExtrinsics(
+            np.eye(3), np.array([0.0, 0.0, 0.0]), 1.0,
+            cam.height / cam.width, cam.width, cam.height,
+        )
+        cams = stack_cameras(
+            [base.build()]
+            + [base.yaw(7.0 * i).build() for i in range(1, batch)]
+        )
+    else:
+        cams = stack_cameras(
+            [
+                make_camera(np.eye(3), np.array([0.0, 0.0, 0.05 * i]), 1.0,
+                            cam.height / cam.width, cam.width, cam.height)
+                for i in range(batch)
+            ]
+        )
     bg = jnp.zeros(3)
     bboxes = jnp.tile(
         jnp.array([[cam.width * 0.25, cam.height * 0.25, cam.width * 0.75,
@@ -663,6 +679,10 @@ def main():
                          "random init (timing-representative only)")
     ap.add_argument("--det-weights", default="",
                     help="converted checkpoint (.npz) for --detector")
+    ap.add_argument("--yaw-aug", action="store_true",
+                    help="PGD camera batch = base + yaw(7*i) augmentations "
+                         "(the reference's add_cams shape) instead of "
+                         "translated copies")
     ap.add_argument("--parity", dest="parity", action="store_true",
                     default=None, help="gate compiled pallas vs XLA parity")
     ap.add_argument("--no-parity", dest="parity", action="store_false")
@@ -752,8 +772,9 @@ def main():
         # (max tile footprint) and the post-ellipse-test survivor cap that
         # actually feeds the N*pairs global sort (row compaction).
         args.pairs, args.rect = auto_pair_caps(proj0, args.width, args.height)
-        if args.rect <= args.pairs:
-            args.rect = 0  # compaction can't shrink anything
+        # rect == pairs is kept: the left-pack alone enables the tiered
+        # bin (the 1M regime hits max-survivors == max-footprint); it is
+        # zeroed below if tiering turns out unprofitable.
     elif args.pairs < 0:
         # Auto-size the static per-gaussian pair cap: the raw pair list is
         # N * pairs feeding the global sort, so slack is sort bandwidth.
@@ -791,13 +812,15 @@ def main():
     if (
         args.tier_split < 0
         and args.backend == "pallas"
-        and args.rect > args.pairs
+        and 0 < args.pairs <= args.rect
     ):
         from gsattack.ops.raster import auto_tier_caps
 
         tier = auto_tier_caps(
             proj0, args.width, args.height, args.pairs, args.rect,
         )
+        if tier == (0, 0) and args.rect == args.pairs:
+            args.rect = 0  # identity left-pack with no tier: skip it
     log(f"backend={args.backend} pairs={args.pairs} rect={args.rect} "
         f"pairs_budget={budget} compact_budget={compact} tier={tier}")
 
@@ -839,6 +862,7 @@ def main():
             scene, cam, args.iters, args.pairs, args.chunk, args.max_chunks,
             args.backend, args.views, budget, args.mesh, args.rect,
             args.detector, args.det_weights, compact, tier,
+            yaw_aug=args.yaw_aug,
         )
         print(
             json.dumps(
@@ -978,24 +1002,12 @@ def scale_probe_fields(args) -> dict:
     nyc_block): 500k splats @ 1600x1200, measured caps, RGB and
     with-objects fwd+bwd Mpix/s."""
     from gsattack.ops.project import project
-    from gsattack.ops.raster import (
-        auto_compact_budget, auto_pair_caps, auto_pairs_budget,
-        auto_tier_caps,
-    )
+    from gsattack.ops.raster import auto_caps
 
     n, w, h = 500_000, 1600, 1200
     scene, cam = build_problem(n, w, h, args.sh_degree)
     proj0 = project(scene, cam)
-    pairs, rect = auto_pair_caps(proj0, w, h)
-    if rect <= pairs:
-        rect = 0
-    budget = auto_pairs_budget(proj0, w, h, pairs, margin=1.0,
-                               rect_candidates=rect)
-    compact = auto_compact_budget(proj0, w, h, pairs, margin=1.0,
-                                  rect_candidates=rect)
-    tier = (
-        auto_tier_caps(proj0, w, h, pairs, rect) if rect > pairs else (0, 0)
-    )
+    pairs, rect, budget, compact, tier = auto_caps(proj0, w, h)
     log(f"scale probe: n={n} {w}x{h} pairs={pairs} rect={rect} "
         f"budget={budget} compact={compact} tier={tier}")
     iters = max(args.iters // 2, 5)

@@ -300,8 +300,11 @@ def run_dagger(
             caps = [auto_pair_caps(p, c.width, c.height) for p, c in projs]
             pairs = max(k for k, _ in caps)
             rect = max(r for _, r in caps)
-            if rect <= pairs:
-                rect = 0  # compaction can't shrink anything
+            # rect == pairs is kept: the left-pack alone enables the
+            # tiered bin (large scenes hit max-survivors == max-footprint);
+            # zeroed below if tiering resolves to off.
+            if rect < pairs:
+                rect = 0
             cfg = dataclasses.replace(
                 cfg, pairs_per_gaussian=pairs, rect_candidates=rect
             )
@@ -342,7 +345,7 @@ def run_dagger(
         if cfg.tier_split < 0:
             from ..ops.raster import auto_tier_caps
 
-            if cfg.rect_candidates > cfg.pairs_per_gaussian:
+            if 0 < cfg.pairs_per_gaussian <= cfg.rect_candidates:
                 tcaps = [
                     auto_tier_caps(
                         p, c.width, c.height, cfg.pairs_per_gaussian,
@@ -372,6 +375,9 @@ def run_dagger(
                     hb = 0
             else:
                 ts = hb = 0
+            if ts == 0 and cfg.rect_candidates == cfg.pairs_per_gaussian:
+                # identity left-pack with no tier: skip it
+                cfg = dataclasses.replace(cfg, rect_candidates=0)
             cfg = dataclasses.replace(cfg, tier_split=ts, heavy_budget=hb)
             if ts:
                 log(f"[Info] Auto-sized tier_split = {ts}, "

@@ -102,8 +102,11 @@ def _resolve_render_caps(
         pairs = max(k for k, _ in caps) if pairs < 0 else pairs
         rect_m = max(r for _, r in caps)
         rect = rect_m if rect < 0 else rect
-        if rect <= pairs:
+        if rect < pairs:
             rect = 0
+        # rect == pairs is kept: the left-pack alone enables the tiered
+        # bin (large scenes hit max-survivors == max-footprint); zeroed
+        # below if tiering resolves to off.
         log.info(
             "[render-eval] auto caps: pairs_per_gaussian=%d "
             "rect_candidates=%d", pairs, rect,
@@ -121,7 +124,7 @@ def _resolve_render_caps(
         log.info("[render-eval] auto pairs_budget=%d", budget)
     elif budget < 0:
         budget = 0
-    if tier[0] < 0 and backend == "pallas" and rect > pairs:
+    if tier[0] < 0 and backend == "pallas" and 0 < pairs <= rect:
         tcaps = [
             auto_tier_caps(p, e.width, e.height, pairs, rect)
             for p, e in projs
@@ -130,7 +133,7 @@ def _resolve_render_caps(
         tier = (ts, 0)
     elif tier[0] < 0:
         tier = (0, 0)
-    if tier[0] > 0 and tier[1] < 0 and backend == "pallas" and rect > pairs:
+    if tier[0] > 0 and tier[1] < 0 and backend == "pallas" and 0 < pairs <= rect:
         # Size the heavy capacity at the CHOSEN split from every sampled
         # view (covers both the auto path and an explicit tier_split with
         # heavy_budget=-1; a view whose own tiering probe said "off" still
@@ -144,6 +147,8 @@ def _resolve_render_caps(
         log.info("[render-eval] auto tier=(%d, %d)", *tier)
     elif tier[0] > 0 and tier[1] < 0:
         tier = (0, 0)  # tiering needs row compaction; off
+    if tier[0] == 0 and rect == pairs:
+        rect = 0  # identity left-pack with no tier: skip it
     return dataclasses.replace(
         cfg, backend=backend, pairs_per_gaussian=pairs,
         rect_candidates=rect, pairs_budget=budget,

@@ -133,7 +133,7 @@ def bin_gaussians(
     somewhere, else the tile's pairs are dropped (output-exact — the blend
     skips those pixels anyway; kills the rect's corner/elongation waste).
 
-    `rect_candidates` (> pairs_per_gaussian, needs conic+opacity) splits
+    `rect_candidates` (>= pairs_per_gaussian, needs conic+opacity) splits
     the two capacities: the rect is enumerated at `rect_candidates` cells,
     ellipse-surviving cells are COMPACTED left with a cheap per-row sort
     (a ~10-stage network over C columns vs ~440 for the global pair sort),
@@ -160,7 +160,13 @@ def bin_gaussians(
     num_tiles = tiles_x * tiles_y
     c = pairs_per_gaussian
     do_ellipse = conic is not None and opacity is not None
-    compact = do_ellipse and rect_candidates > c
+    # Equality (rect_candidates == c) is allowed: the rect enumeration
+    # width is unchanged but the per-row left-pack still runs, which is
+    # what the TIERED emission needs ("first c1 columns hold the real
+    # survivors"). The 1M regime hits max-survivors == max-footprint, and
+    # without this the tier — the only thing taming an N*c flat sort at
+    # that scale — would silently disengage.
+    compact = do_ellipse and 0 < c <= rect_candidates
     c_rect = rect_candidates if compact else c
 
     rmin_x, rmax_x, rmin_y, rmax_y = _tile_rect(mean2d, radius, tiles_x, tiles_y)
@@ -481,7 +487,7 @@ def auto_tier_caps(
     applicable (no row compaction). Host-side; call at setup, max over
     cameras (each distinct value is a recompile)."""
     c = pairs_per_gaussian
-    if not (rect_candidates > c):
+    if not (0 < c <= rect_candidates):
         return 0, 0
     n = proj.mean2d.shape[0]
     counts = _survivor_counts(
@@ -498,6 +504,31 @@ def auto_tier_caps(
     if best[0] > 0.8 * n * c:
         return 0, 0
     return best[1], best[2]
+
+
+def auto_caps(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    margin: float = 1.0,
+) -> tuple[int, int, int, int, tuple[int, int]]:
+    """One-call static-cap resolution for a single-view workload:
+    (pairs_per_gaussian, rect_candidates, pairs_budget, compact_budget,
+    (tier_split, heavy_budget)). Keeps rect == pairs when the tiered bin
+    is profitable (the left-pack alone enables tiering — the 1M regime
+    hits max-survivors == max-footprint), zeroes rect otherwise. Host-side
+    setup cost; every distinct value is a recompile."""
+    pairs, rect = auto_pair_caps(proj, width, height)
+    tier = auto_tier_caps(proj, width, height, pairs, rect)
+    if tier == (0, 0) and rect <= pairs:
+        rect = 0  # identity left-pack with no tier: skip it
+    budget = auto_pairs_budget(
+        proj, width, height, pairs, margin=margin, rect_candidates=rect
+    )
+    compact = auto_compact_budget(
+        proj, width, height, pairs, margin=margin, rect_candidates=rect
+    )
+    return pairs, rect, budget, compact, tier
 
 
 def _blend_tiles(

@@ -33,19 +33,10 @@ def main():
 
     scene, cam = build_problem(args.n, args.width, args.height, 3)
     proj = jax.jit(lambda s: project(s, cam))(scene)
-    pairs, rect = auto_pair_caps(proj, cam.width, cam.height)
-    if rect <= pairs:
-        rect = 0
-    budget = auto_pairs_budget(proj, cam.width, cam.height, pairs,
-                               margin=1.0, rect_candidates=rect)
-    compact = auto_compact_budget(proj, cam.width, cam.height, pairs,
-                                  margin=1.25, rect_candidates=rect)
-    from gsattack.ops.raster import auto_tier_caps
+    from gsattack.ops.raster import auto_caps
 
-    tier = (
-        auto_tier_caps(proj, cam.width, cam.height, pairs, rect)
-        if rect > pairs else (0, 0)
-    )
+    pairs, rect, budget, compact, tier = auto_caps(
+        proj, cam.width, cam.height)
     print(f"caps: pairs={pairs} rect={rect} budget={budget} "
           f"compact={compact} tier={tier}", file=sys.stderr)
     bg = jnp.zeros(3)

@@ -260,6 +260,42 @@ def test_tiered_bin_matches_untiered_all_backwards(monkeypatch):
             )
 
 
+def test_tiered_bin_engages_at_rect_equals_pairs():
+    """The 1M regime: max survivors == max rect footprint, so
+    auto_pair_caps returns pairs == rect. The tiered bin must still
+    engage (the left-pack alone enables it) and stay output-exact vs the
+    untiered path — before the r5 fix the `rect > pairs` gates silently
+    disabled BOTH compaction and tiering there, exploding the flat sort
+    to N*c rows."""
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import (
+        auto_pair_caps, auto_pairs_budget, auto_tier_caps,
+    )
+
+    sc = _tier_pressure_scene()
+    wh = 128
+    cam = make_toy_camera(width=wh, height=wh)
+    bg = jnp.zeros(3)
+    proj0 = project(sc, cam)
+    _, rect = auto_pair_caps(proj0, wh, wh)
+    keep = rect  # the 1M-regime equality
+    ts, hb = auto_tier_caps(proj0, wh, wh, keep, rect, quantum=64)
+    assert ts > 0, "tiering must engage at rect == pairs"
+    pbud = auto_pairs_budget(proj0, wh, wh, keep, rect_candidates=rect)
+
+    def img(tier):
+        return render(
+            sc, cam, bg, backend="pallas", interpret=True,
+            pairs_per_gaussian=keep, rect_candidates=rect,
+            pairs_budget=pbud, tier_split=tier[0], heavy_budget=tier[1],
+            max_chunks=16,
+        )["render"]
+
+    np.testing.assert_array_equal(
+        np.asarray(img((ts, hb))), np.asarray(img((0, 0)))
+    )
+
+
 def test_tiered_bin_heavy_overflow_counted():
     """Heavy gaussians beyond heavy_budget lose exactly their overflow
     columns — and every lost pair lands in num_culled_pairs."""
