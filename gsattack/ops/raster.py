@@ -109,6 +109,52 @@ def _box_quad_min(a, b, c, lx, ux, ly, uy):
     return jnp.where(inside, 0.0, qe)
 
 
+def _candidate_cells(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    conic: jnp.ndarray | None,
+    opacity: jnp.ndarray | None,
+    tiles_x: int,
+    tiles_y: int,
+    c_rect: int,
+    do_ellipse: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The per-gaussian rect-enumeration cells with the exact ellipse test
+    applied: (tile_id (N, c_rect) with the num_tiles sentinel on invalid
+    cells, valid (N, c_rect), touched (N,)). Shared by bin_gaussians and
+    the slab-wise cap probes so their semantics cannot drift."""
+    num_tiles = tiles_x * tiles_y
+    rmin_x, rmax_x, rmin_y, rmax_y = _tile_rect(
+        mean2d, radius, tiles_x, tiles_y
+    )
+    rect_w = rmax_x - rmin_x
+    touched = jnp.where(radius > 0, rect_w * (rmax_y - rmin_y), 0)  # (N,)
+
+    j = jnp.arange(c_rect, dtype=jnp.int32)[None, :]  # (1, C_rect)
+    w_safe = jnp.maximum(rect_w, 1)[:, None]
+    tx = rmin_x[:, None] + j % w_safe
+    ty = rmin_y[:, None] + j // w_safe
+    valid = j < touched[:, None]
+    if do_ellipse:
+        # Tile pixel centers span [t*TILE, t*TILE + TILE-1] in each axis.
+        lx = (tx * TILE).astype(jnp.float32) - mean2d[:, 0:1]
+        ly = (ty * TILE).astype(jnp.float32) - mean2d[:, 1:2]
+        qmin = _box_quad_min(
+            conic[:, 0:1], conic[:, 1:2], conic[:, 2:3],
+            lx, lx + (TILE - 1.0), ly, ly + (TILE - 1.0),
+        )
+        # alpha_max = op * exp(-qmin/2) >= 1/255  <=>  qmin <= 2 ln(255 op).
+        # +1e-3 slack: keep pixels within f32 rounding of the boundary (the
+        # blend's alpha test decides them; keeping is always safe).
+        q_cut = (
+            2.0 * jnp.log(jnp.maximum(opacity * 255.0, 1e-6)) + 1e-3
+        )[:, None]
+        pd = (conic[:, 0:1] > 0.0) & (conic[:, 2:3] > 0.0)
+        valid &= (qmin <= q_cut) | ~pd  # non-PD conic: keep (blend decides)
+    tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    return tile_id, valid, touched
+
+
 def bin_gaussians(
     mean2d: jnp.ndarray,
     depth: jnp.ndarray,
@@ -169,37 +215,17 @@ def bin_gaussians(
     compact = do_ellipse and 0 < c <= rect_candidates
     c_rect = rect_candidates if compact else c
 
-    rmin_x, rmax_x, rmin_y, rmax_y = _tile_rect(mean2d, radius, tiles_x, tiles_y)
-    rect_w = rmax_x - rmin_x
-    touched = jnp.where(radius > 0, rect_w * (rmax_y - rmin_y), 0)  # (N,)
-
-    j = jnp.arange(c_rect, dtype=jnp.int32)[None, :]  # (1, C_rect)
-    w_safe = jnp.maximum(rect_w, 1)[:, None]
-    tx = rmin_x[:, None] + j % w_safe
-    ty = rmin_y[:, None] + j // w_safe
-    valid = j < touched[:, None]
-    if do_ellipse:
-        # Tile pixel centers span [t*TILE, t*TILE + TILE-1] in each axis.
-        lx = (tx * TILE).astype(jnp.float32) - mean2d[:, 0:1]
-        ly = (ty * TILE).astype(jnp.float32) - mean2d[:, 1:2]
-        qmin = _box_quad_min(
-            conic[:, 0:1], conic[:, 1:2], conic[:, 2:3],
-            lx, lx + (TILE - 1.0), ly, ly + (TILE - 1.0),
-        )
-        # alpha_max = op * exp(-qmin/2) >= 1/255  <=>  qmin <= 2 ln(255 op).
-        # +1e-3 slack: keep pixels within f32 rounding of the boundary (the
-        # blend's alpha test decides them; keeping is always safe).
-        q_cut = (
-            2.0 * jnp.log(jnp.maximum(opacity * 255.0, 1e-6)) + 1e-3
-        )[:, None]
-        pd = (conic[:, 0:1] > 0.0) & (conic[:, 2:3] > 0.0)
-        valid &= (qmin <= q_cut) | ~pd  # non-PD conic: keep (blend decides)
-    tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    tile_id, valid, touched = _candidate_cells(
+        mean2d, radius, conic, opacity, tiles_x, tiles_y, c_rect,
+        do_ellipse,
+    )
     overflow = jnp.maximum(touched - c_rect, 0)
     if compact:
-        # Pack survivors left (key: valid cells keep j, invalid get C_rect;
-        # within a gaussian every tile is distinct so relative order is
-        # irrelevant) and keep the first c columns.
+        # Pack survivors left (key: valid cells keep their enumeration
+        # index j, invalid get C_rect; within a gaussian every tile is
+        # distinct so relative order is irrelevant) and keep the first c
+        # columns.
+        j = jnp.arange(c_rect, dtype=jnp.int32)[None, :]
         skey, tile_id = jax.lax.sort(
             (jnp.where(valid, j, c_rect).astype(jnp.int32), tile_id),
             num_keys=1, is_stable=False,
@@ -304,6 +330,59 @@ def bin_gaussians(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _probe_slab_stats(
+    mean2d, radius, conic, opacity, tiles_x, tiles_y, c, c_rect
+):
+    tile_id, valid, _ = _candidate_cells(
+        mean2d, radius, conic, opacity, tiles_x, tiles_y, c_rect, True
+    )
+    # The left-pack keeps each row's first c survivors in enumeration
+    # order; cells beyond that truncate (bin_gaussians compact semantics).
+    kept = valid & (jnp.cumsum(valid.astype(jnp.int32), axis=1) <= c)
+    num_tiles = tiles_x * tiles_y
+    hist = jnp.bincount(
+        jnp.where(kept, tile_id, num_tiles).reshape(-1),
+        length=num_tiles + 1,
+    )[:num_tiles]
+    return jnp.sum(kept, axis=1).astype(jnp.int32), hist
+
+
+def _probe_pair_stats(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    c: int,
+    rect_candidates: int,
+    slab: int = 1 << 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side slab-wise cap probe: (per-gaussian kept-survivor counts
+    (N,), per-tile kept-pair counts (num_tiles,)) — WITHOUT materializing
+    the N x C candidate list or its global sort. The one-shot
+    bin_gaussians probe was the FIRST thing to OOM at 8M splats (the
+    render itself fits); slabbing bounds probe memory at slab x c_rect
+    regardless of N. Semantics match bin_gaussians exactly (shared
+    _candidate_cells + first-c-in-enumeration-order truncation)."""
+    n = proj.mean2d.shape[0]
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    c_rect = rect_candidates if 0 < c <= rect_candidates else c
+    counts = np.empty(n, np.int32)
+    hist = np.zeros(tiles_x * tiles_y, np.int64)
+    for a in range(0, n, slab):
+        b = min(a + slab, n)
+        pad = slab - (b - a) if n > slab else 0
+        f = (lambda x: np.pad(np.asarray(x[a:b]), [(0, pad)] + [(0, 0)] * (
+            x.ndim - 1))) if pad else (lambda x: x[a:b])
+        cnt, h = _probe_slab_stats(
+            f(proj.mean2d), f(proj.radius_tight), f(proj.conic),
+            f(proj.opacity), tiles_x, tiles_y, c, c_rect,
+        )
+        counts[a:b] = np.asarray(cnt)[: b - a]  # pad rows: radius 0 -> 0
+        hist += np.asarray(h, np.int64)
+    return counts, hist
+
+
 def auto_pairs_budget(
     proj: ProjectedGaussians,
     width: int,
@@ -323,13 +402,10 @@ def auto_pairs_budget(
     at setup, not inside jit."""
     from .pallas_blend import CHUNK
 
-    bins = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius_tight, width, height,
-        pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
-        rect_candidates=rect_candidates,
+    _, hist = _probe_pair_stats(
+        proj, width, height, pairs_per_gaussian, rect_candidates
     )
-    counts = bins.tile_end - bins.tile_start
-    padded_total = int(jnp.sum((counts + CHUNK - 1) // CHUNK) * CHUNK)
+    padded_total = int(((hist + CHUNK - 1) // CHUNK).sum() * CHUNK)
     budget = int(padded_total * margin) + CHUNK
     return ((budget + CHUNK - 1) // CHUNK) * CHUNK
 
@@ -349,13 +425,10 @@ def auto_compact_budget(
     most expensive op roughly in half. Host-side; call once at setup."""
     from .pallas_blend import CHUNK
 
-    bins = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius_tight, width, height,
-        pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
-        rect_candidates=rect_candidates,
+    _, hist = _probe_pair_stats(
+        proj, width, height, pairs_per_gaussian, rect_candidates
     )
-    total = int(jnp.sum(bins.tile_end - bins.tile_start))
-    budget = int(total * margin) + CHUNK
+    budget = int(int(hist.sum()) * margin) + CHUNK
     return ((budget + CHUNK - 1) // CHUNK) * CHUNK
 
 
@@ -398,23 +471,10 @@ def auto_pair_caps(
     enumeration. Host-side; call at setup, max over cameras (each distinct
     value is a recompile)."""
     rect = auto_pairs_per_gaussian(proj, width, height, quantum, floor)
-    bins_probe = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius_tight, width, height, rect,
-        conic=proj.conic, opacity=proj.opacity,
-    )
-    # Survivor count per gaussian: valid pairs sort to a prefix (invalid
-    # carry the sentinel tile key), so histogram the gauss indices of the
-    # first sum(tile counts) sorted pairs. One-time setup cost.
-    n = proj.mean2d.shape[0]
-    p_valid = jnp.sum(bins_probe.tile_end - bins_probe.tile_start)
-    counts = jnp.bincount(
-        jnp.where(
-            jnp.arange(bins_probe.gauss_idx.shape[0]) < p_valid,
-            bins_probe.gauss_idx,
-            n,
-        ),
-        length=n + 1,
-    )[:n]
+    # Survivor count per gaussian via the slab-wise probe (no N x C
+    # candidate materialization — the one-shot probe was the first OOM at
+    # 8M splats). One-time setup cost.
+    counts, _ = _probe_pair_stats(proj, width, height, rect, rect)
     keep = max(int(counts.max()), floor)
     keep = ((keep + quantum - 1) // quantum) * quantum
     return min(keep, rect), rect
@@ -428,21 +488,11 @@ def _survivor_counts(
     rect_candidates: int,
 ) -> np.ndarray:
     """Per-gaussian post-ellipse-test survivor counts of one view (the
-    histogram both tier-sizing helpers work from). Host-side."""
-    n = proj.mean2d.shape[0]
-    bins = bin_gaussians(
-        proj.mean2d, proj.depth, proj.radius_tight, width, height,
-        pairs_per_gaussian, conic=proj.conic, opacity=proj.opacity,
-        rect_candidates=rect_candidates,
+    histogram both tier-sizing helpers work from). Host-side, slab-wise."""
+    counts, _ = _probe_pair_stats(
+        proj, width, height, pairs_per_gaussian, rect_candidates
     )
-    p_valid = jnp.sum(bins.tile_end - bins.tile_start)
-    return np.asarray(jnp.bincount(
-        jnp.where(
-            jnp.arange(bins.gauss_idx.shape[0]) < p_valid,
-            bins.gauss_idx, n,
-        ),
-        length=n + 1,
-    )[:n])
+    return counts
 
 
 def auto_heavy_budget(

@@ -260,6 +260,42 @@ def test_tiered_bin_matches_untiered_all_backwards(monkeypatch):
             )
 
 
+def test_slab_probe_matches_bin_gaussians():
+    """The slab-wise cap probe (_probe_pair_stats) must reproduce the
+    bin_gaussians-derived statistics exactly — survivor histogram, padded
+    budget and valid-pair totals — including with a slab size that forces
+    multiple padded slabs (the 8M-splat OOM fix must not drift caps at
+    any scale)."""
+    from gsattack.ops.project import project
+    from gsattack.ops.raster import (
+        _probe_pair_stats, auto_pair_caps, bin_gaussians,
+    )
+
+    sc = _tier_pressure_scene()
+    wh = 128
+    cam = make_toy_camera(width=wh, height=wh)
+    proj = project(sc, cam)
+    keep, rect = auto_pair_caps(proj, wh, wh)
+    n = proj.mean2d.shape[0]
+
+    for c, rc in [(keep, rect), (rect, rect), (keep, 0)]:
+        bins = bin_gaussians(
+            proj.mean2d, proj.depth, proj.radius_tight, wh, wh, c,
+            conic=proj.conic, opacity=proj.opacity, rect_candidates=rc,
+        )
+        p_valid = int(jnp.sum(bins.tile_end - bins.tile_start))
+        ref_counts = np.bincount(
+            np.asarray(bins.gauss_idx)[:p_valid], minlength=n
+        )[:n]
+        ref_tiles = np.asarray(bins.tile_end - bins.tile_start)
+        for slab in (1 << 20, 100):  # one-shot and multi-slab-with-pad
+            counts, hist = _probe_pair_stats(proj, wh, wh, c, rc, slab=slab)
+            np.testing.assert_array_equal(counts, ref_counts,
+                                          err_msg=f"c={c} rc={rc} {slab}")
+            np.testing.assert_array_equal(hist, ref_tiles,
+                                          err_msg=f"c={c} rc={rc} {slab}")
+
+
 def test_tiered_bin_engages_at_rect_equals_pairs():
     """The 1M regime: max survivors == max rect footprint, so
     auto_pair_caps returns pairs == rect. The tiered bin must still
