@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -92,13 +93,28 @@ def bench_fwd_bwd(scene, cam, iters: int, pairs: int, chunk: int, max_chunks: in
     salt0 = (time.time_ns() % (1 << 20)) * 1e-38
     eps_seq = jax.block_until_ready(
         [jnp.float32((i + 1) * 1e-30 + salt0) for i in range(iters)])
+    # At near-HBM-capacity scales (8M splats RGB) two pipelined frames'
+    # live buffers overlap and OOM where one frame fits; serialize the
+    # loop there (the per-iter block costs ~ms against a multi-second
+    # frame, and capacity anchoring beats dispatch-gap purity).
+    serialize = os.environ.get("GSATTACK_BENCH_SERIALIZE", "") == "1"
     t0 = time.perf_counter()
     for e in eps_seq:
+        if serialize:
+            grads = None  # free last frame's ~2 GB grad pytree first
         loss, grads = vg(params, e)
+        if serialize:
+            jax.block_until_ready(grads)
     jax.block_until_ready(grads)
     dt = time.perf_counter() - t0
     mpix = cam.width * cam.height * iters / dt / 1e6
     log(f"fwd+bwd: {iters} iters in {dt:.3f}s -> {mpix:.2f} Mpix/s")
+
+    if serialize:
+        # The scan companion fuses the whole loop into one executable and
+        # needs ~2 frames of live buffers — exactly what the serialized
+        # mode exists to avoid at capacity scales.
+        return mpix, mpix
 
     # Production-loop shape: a lax.scan over the same iters inside ONE
     # dispatch (how a training/attack loop that doesn't inspect per-iter
