@@ -730,16 +730,19 @@ def main():
         # The chip is single-tenant: two TPU processes starve each other.
         # Serialize benches behind a host-wide lock (held for the whole
         # run; waiting is better than corrupting both runs' timings).
-        import fcntl
+        # GSATTACK_SKIP_TPU_LOCK=1: child probe of a bench that already
+        # holds the lock and blocks on us (scale_probe_fields).
+        if os.environ.get("GSATTACK_SKIP_TPU_LOCK") != "1":
+            import fcntl
 
-        lockf = open("/tmp/gsattack_tpu.lock", "w")
-        try:
-            fcntl.flock(lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
-            log("another TPU bench holds /tmp/gsattack_tpu.lock — waiting "
-                "for it to finish...")
-            fcntl.flock(lockf, fcntl.LOCK_EX)
-        globals()["_tpu_lock"] = lockf  # keep the fd (and lock) alive
+            lockf = open("/tmp/gsattack_tpu.lock", "w")
+            try:
+                fcntl.flock(lockf, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                log("another TPU bench holds /tmp/gsattack_tpu.lock — "
+                    "waiting for it to finish...")
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+            globals()["_tpu_lock"] = lockf  # keep the fd (and lock) alive
 
         # The relay has a half-down failure mode (observed: multi-hour
         # outages) where the ports ACCEPT but every RPC blocks forever, so
@@ -1039,20 +1042,26 @@ def scale_probe_fields(args) -> dict:
         "scale_mpix_per_s": round(mpix, 3),
         "scale_obj_mpix_per_s": round(mpix_obj, 3),
     }
-    # Million-splat line (VERDICT r4 missing #1): RGB-only to keep the
-    # driver run bounded; the tiered bin engages via the rect == pairs
-    # equality path at this scale.
+    # Million-splat line (VERDICT r4 missing #1), run in a SUBPROCESS: the
+    # parent's dispatch loop degrades ~30x after this run's many compiles
+    # (relay per-process distortion, r3/r5 notes — the same leg's scan
+    # companion measured 9.27 Mpix/s while the in-process python loop
+    # read 0.27), and a fresh process measures cleanly with the warm
+    # persistent compile cache. The child skips the held TPU lock.
     try:
-        scene1m, cam1m = build_problem(1_000_000, w, h, args.sh_degree)
-        proj1m = project(scene1m, cam1m)
-        p1, r1, b1, c1, t1 = auto_caps(proj1m, w, h)
-        log(f"1M probe: pairs={p1} rect={r1} budget={b1} compact={c1} "
-            f"tier={t1}")
-        mpix1m, _ = bench_fwd_bwd(
-            scene1m, cam1m, iters, p1, args.chunk, args.max_chunks,
-            "pallas", b1, False, r1, c1, t1,
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--n-points", "1000000", "--width", str(w), "--height",
+             str(h), "--sh-degree", str(args.sh_degree), "--iters", "5",
+             "--no-scale-probe", "--no-parity"],
+            capture_output=True, text=True, timeout=2400,
+            env={**os.environ, "GSATTACK_SKIP_TPU_LOCK": "1"},
         )
-        out["probe_1m_mpix_per_s"] = round(mpix1m, 3)
+        rec = json.loads(r.stdout.strip().splitlines()[-1])
+        out["probe_1m_mpix_per_s"] = rec["value"]
+        out["probe_1m_obj_mpix_per_s"] = rec["with_objects_mpix_per_s"]
     except Exception as e:  # noqa: BLE001 — recorded, not fatal
         log(f"1M probe failed: {type(e).__name__}: {e}")
         out["probe_1m_error"] = f"{type(e).__name__}: {e}"[:200]

@@ -533,6 +533,15 @@ pallas_blend_views.defvjp(_blend_fwd, _blend_bwd)
 # runs at 10.6 ns/row unsplit), so the sites split independently.
 _GATHER_PIECE_FWD = int(os.environ.get("GSATTACK_GATHER_PIECE_FWD", 0))
 _GATHER_PIECE_BWD = int(os.environ.get("GSATTACK_GATHER_PIECE_BWD", 16))
+# Splitting is per-SITE, matching every r5 A/B: the table backwards only
+# run above the 1M-pair gate (large scenes), where splitting won at both
+# tier-A (2M rows, 57.8 -> 40 ms) and tier-B (348k rows, 17.2 -> 12.0);
+# the compact backward only runs BELOW that gate (small scenes), where
+# the same split cost ~5 Mpix/s off the 100k with-objects headline
+# (24.6 vs 29.4, r5 A/B) — so the compact site never splits.
+_GATHER_PIECE_COMPACT = int(
+    os.environ.get("GSATTACK_GATHER_PIECE_COMPACT", 0)
+)
 
 
 def _col_pieces(w: int, p: int):
@@ -665,7 +674,7 @@ def _gather_pack_T_compact_bwd(res, g):
     # (B, W): only in-budget pairs' cotangents; width-split past the
     # gather width cliff (W=32 in objects mode), re-joined before the
     # single scatter (two scatters would double the serial per-row cost).
-    pieces = _col_pieces(gT.shape[1], _GATHER_PIECE_BWD)
+    pieces = _col_pieces(gT.shape[1], _GATHER_PIECE_COMPACT)
     if len(pieces) == 1:
         upd = gT[pair_slot]
     else:
